@@ -1,0 +1,350 @@
+"""Neural building blocks, TPU-first (NHWC, static shapes, bf16 compute).
+
+Capability parity with the reference module zoo (models/common.py:31-243,
+models/experimental.py:11-110, utils/activations.py) as fresh flax modules.
+All feature maps are NHWC (XLA:TPU's preferred conv layout); parameters are
+fp32, compute dtype is configurable (bf16 by default on TPU). BatchNorm
+statistics always accumulate in fp32 with torch-matching eps/momentum
+(1e-3 / 0.03; reference utils/torch_utils.py:149-151) so that accuracy
+parity is attainable.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+def autopad(k, p=None):
+    """'same'-style padding for odd kernels (reference models/common.py:24)."""
+    if p is None:
+        p = k // 2 if isinstance(k, int) else [x // 2 for x in k]
+    return p
+
+
+def make_divisible(x: float, divisor: int = 8) -> int:
+    """Round channel counts up to a multiple of `divisor` (general.py:191)."""
+    return int(math.ceil(x / divisor) * divisor)
+
+
+class ConvBnAct(nn.Module):
+    """Conv2d(bias=False) + BatchNorm + SiLU — the `Conv` of common.py:36.
+
+    NHWC; BN runs in fp32 regardless of compute dtype.
+    """
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    p: Any = None
+    g: int = 1
+    act: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = autopad(self.k, self.p)
+        if isinstance(pad, int):
+            pad = [(pad, pad), (pad, pad)]
+        else:
+            pad = [(pad[0], pad[0]), (pad[1], pad[1])]
+        x = nn.Conv(
+            self.c2,
+            kernel_size=(self.k, self.k) if isinstance(self.k, int) else tuple(self.k),
+            strides=(self.s, self.s),
+            padding=pad,
+            feature_group_count=self.g,
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.97,  # torch momentum 0.03
+            epsilon=1e-3,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+            name="bn",
+        )(x.astype(jnp.float32))
+        x = x.astype(self.dtype)
+        if self.act:
+            x = nn.silu(x)
+        return x
+
+
+def dwconv(c1: int, c2: int, k: int = 1, s: int = 1, act: bool = True, dtype=jnp.float32):
+    """Depthwise-ish conv via grouped conv with g = gcd(c1, c2) (common.py:31)."""
+    return ConvBnAct(c2=c2, k=k, s=s, g=math.gcd(c1, c2), act=act, dtype=dtype)
+
+
+class Focus(nn.Module):
+    """Space-to-depth 2x (4-way pixel deinterleave concat) + Conv (common.py:168).
+
+    NHWC: x (B, H, W, C) -> (B, H/2, W/2, 4C) -> Conv.
+    """
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    p: Any = None
+    g: int = 1
+    act: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = jnp.concatenate(
+            [x[:, ::2, ::2, :], x[:, 1::2, ::2, :], x[:, ::2, 1::2, :], x[:, 1::2, 1::2, :]],
+            axis=-1,
+        )
+        return ConvBnAct(self.c2, self.k, self.s, self.p, self.g, self.act,
+                         dtype=self.dtype, name="conv")(x, train=train)
+
+
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3 with optional residual (common.py:99)."""
+
+    c1: int
+    c2: int
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train=train)
+        y = ConvBnAct(self.c2, 3, 1, g=self.g, dtype=self.dtype, name="cv2")(y, train=train)
+        if self.shortcut and self.c1 == self.c2:
+            y = x + y
+        return y
+
+
+class C3(nn.Module):
+    """CSP bottleneck with 3 convs — the main backbone/neck block (common.py:131)."""
+
+    c1: int
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y1 = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train=train)
+        for i in range(self.n):
+            y1 = Bottleneck(c_, c_, self.shortcut, self.g, e=1.0,
+                            dtype=self.dtype, name=f"m{i}")(y1, train=train)
+        y2 = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train=train)
+        y = jnp.concatenate([y1, y2], axis=-1)
+        return ConvBnAct(self.c2, 1, 1, dtype=self.dtype, name="cv3")(y, train=train)
+
+
+class BottleneckCSP(nn.Module):
+    """Legacy CSP block with plain convs + LeakyReLU gate (common.py:112)."""
+
+    c1: int
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y1 = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train=train)
+        for i in range(self.n):
+            y1 = Bottleneck(c_, c_, self.shortcut, self.g, e=1.0,
+                            dtype=self.dtype, name=f"m{i}")(y1, train=train)
+        y1 = nn.Conv(c_, (1, 1), use_bias=False, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="cv3")(y1)
+        y2 = nn.Conv(c_, (1, 1), use_bias=False, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="cv2")(x)
+        y = jnp.concatenate([y1, y2], axis=-1).astype(jnp.float32)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+                         dtype=jnp.float32, param_dtype=jnp.float32, name="bn")(y)
+        y = nn.leaky_relu(y, negative_slope=0.1).astype(self.dtype)
+        return ConvBnAct(self.c2, 1, 1, dtype=self.dtype, name="cv4")(y, train=train)
+
+
+class SPP(nn.Module):
+    """Spatial pyramid pooling, k=(5, 9, 13) (common.py:154).
+
+    Max-pool with stride 1 and 'same' padding at three window sizes.
+    """
+
+    c1: int
+    c2: int
+    k: Sequence[int] = (5, 9, 13)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.c1 // 2
+        x = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train=train)
+        pools = [x]
+        for k in self.k:
+            pools.append(
+                nn.max_pool(x, window_shape=(k, k), strides=(1, 1),
+                            padding=[(k // 2, k // 2), (k // 2, k // 2)])
+            )
+        y = jnp.concatenate(pools, axis=-1)
+        return ConvBnAct(self.c2, 1, 1, dtype=self.dtype, name="cv2")(y, train=train)
+
+
+class Contract(nn.Module):
+    """Fold spatial into channels: (B,H,W,C) -> (B,H/g,W/g,C*g*g) (common.py:183)."""
+
+    gain: int = 2
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        s = self.gain
+        x = x.reshape(b, h // s, s, w // s, s, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5)
+        return x.reshape(b, h // s, w // s, c * s * s)
+
+
+class Expand(nn.Module):
+    """Unfold channels into spatial: (B,H,W,C) -> (B,H*g,W*g,C/g^2) (common.py:197)."""
+
+    gain: int = 2
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        s = self.gain
+        x = x.reshape(b, h, w, s, s, c // (s * s))
+        x = x.transpose(0, 1, 3, 2, 4, 5)
+        return x.reshape(b, h * s, w * s, c // (s * s))
+
+
+class Upsample(nn.Module):
+    """Nearest-neighbor 2x upsample (the head's `nn.Upsample` rows)."""
+
+    scale: int = 2
+    mode: str = "nearest"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.mode != "nearest":
+            raise NotImplementedError(self.mode)
+        s = self.scale
+        # repeat along H and W; XLA lowers this to a cheap broadcast-reshape
+        x = jnp.repeat(x, s, axis=1)
+        return jnp.repeat(x, s, axis=2)
+
+
+class Concat(nn.Module):
+    """Channel concat of a list of maps (common.py:211); NHWC -> axis=-1."""
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        return jnp.concatenate(list(xs), axis=-1)
+
+
+class Add(nn.Module):
+    """Elementwise add of two stream features — simple fusion (common.py:222)."""
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        return xs[0] + xs[1]
+
+
+class Add2(nn.Module):
+    """Residual add of a stream map with one element of the CFT output tuple
+    (common.py:232): index 0 = RGB branch, 1 = IR branch."""
+
+    index: int
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        return xs[0] + xs[1][self.index]
+
+
+class GhostConv(nn.Module):
+    """Ghost convolution (experimental.py:35)."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    g: int = 1
+    act: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.c2 // 2
+        y = ConvBnAct(c_, self.k, self.s, None, self.g, self.act,
+                      dtype=self.dtype, name="cv1")(x, train=train)
+        y2 = ConvBnAct(c_, 5, 1, None, c_, self.act,
+                       dtype=self.dtype, name="cv2")(y, train=train)
+        return jnp.concatenate([y, y2], axis=-1)
+
+
+class GhostBottleneck(nn.Module):
+    """Ghost bottleneck (experimental.py:46)."""
+
+    c1: int
+    c2: int
+    k: int = 3
+    s: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.c2 // 2
+        y = GhostConv(c_, 1, 1, dtype=self.dtype, name="g1")(x, train=train)
+        if self.s == 2:
+            y = dwconv(c_, c_, self.k, self.s, act=False, dtype=self.dtype)(y, train=train)
+        y = GhostConv(self.c2, 1, 1, act=False, dtype=self.dtype, name="g2")(y, train=train)
+        if self.s == 2:
+            sc = dwconv(self.c1, self.c1, self.k, self.s, act=False, dtype=self.dtype)(x, train=train)
+            sc = ConvBnAct(self.c2, 1, 1, act=False, dtype=self.dtype, name="sc")(sc, train=train)
+        else:
+            sc = x
+        return y + sc
+
+
+class CrossConv(nn.Module):
+    """Cross-shaped 1xk / kx1 conv pair (experimental.py:11)."""
+
+    c1: int
+    c2: int
+    k: int = 3
+    s: int = 1
+    g: int = 1
+    e: float = 1.0
+    shortcut: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+
+        def conv_bn_silu(z, cout, kh, kw, sh, sw, g, tag):
+            z = nn.Conv(cout, (kh, kw), strides=(sh, sw),
+                        padding=[(kh // 2, kh // 2), (kw // 2, kw // 2)],
+                        use_bias=False, feature_group_count=g, dtype=self.dtype,
+                        param_dtype=jnp.float32, name=f"{tag}_conv")(z)
+            z = nn.BatchNorm(use_running_average=not train, momentum=0.97,
+                             epsilon=1e-3, dtype=jnp.float32, param_dtype=jnp.float32,
+                             name=f"{tag}_bn")(z.astype(jnp.float32))
+            return nn.silu(z).astype(self.dtype)
+
+        y = conv_bn_silu(x, c_, 1, self.k, 1, self.s, 1, "cv1")
+        y = conv_bn_silu(y, self.c2, self.k, 1, self.s, 1, self.g, "cv2")
+        if self.shortcut and self.c1 == self.c2:
+            y = x + y
+        return y

@@ -1,0 +1,139 @@
+"""Graph executor: ModelSpec -> flax module running the compiled layer list.
+
+Mirrors the walk of the reference `Model.forward_once`
+(models/yolo_test.py:235-272): layers run in row order, outputs needed later
+are kept in a save-dict, multi-input rows gather from it, and rows whose
+``from`` is -4 consume the second (IR) input. Unlike the reference, the
+executor is a pure function of (params, state, inputs) and the whole graph —
+including two backbones, three CFT fusion stages, the PANet neck and the
+Detect head — traces into a single XLA program.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from . import layers as L
+from .detect import Detect, decode_predictions
+from .fusion import CrossModalFusion
+from .parser import ModelSpec, Node, parse_model_config
+
+
+def _build_module(node: Node, dtype) -> nn.Module:
+    k, a = node.kind, node.args
+    if k == "Conv":
+        return L.ConvBnAct(c2=a[1], k=a[2] if len(a) > 2 else 1,
+                           s=a[3] if len(a) > 3 else 1,
+                           p=a[4] if len(a) > 4 else None,
+                           g=a[5] if len(a) > 5 else 1, dtype=dtype)
+    if k == "DWConv":
+        return L.dwconv(a[0], a[1], a[2] if len(a) > 2 else 1,
+                        a[3] if len(a) > 3 else 1, dtype=dtype)
+    if k == "Focus":
+        return L.Focus(c2=a[1], k=a[2] if len(a) > 2 else 1,
+                       s=a[3] if len(a) > 3 else 1, dtype=dtype)
+    if k == "Bottleneck":
+        return L.Bottleneck(a[0], a[1],
+                            shortcut=a[2] if len(a) > 2 else True, dtype=dtype)
+    if k == "BottleneckCSP":
+        return L.BottleneckCSP(a[0], a[1], n=a[2],
+                               shortcut=a[3] if len(a) > 3 else True, dtype=dtype)
+    if k == "C3":
+        return L.C3(a[0], a[1], n=a[2],
+                    shortcut=a[3] if len(a) > 3 else True, dtype=dtype)
+    if k == "SPP":
+        return L.SPP(a[0], a[1], k=tuple(a[2]) if len(a) > 2 else (5, 9, 13),
+                     dtype=dtype)
+    if k == "GhostConv":
+        return L.GhostConv(c2=a[1], k=a[2] if len(a) > 2 else 1,
+                           s=a[3] if len(a) > 3 else 1, dtype=dtype)
+    if k == "GhostBottleneck":
+        return L.GhostBottleneck(a[0], a[1], k=a[2] if len(a) > 2 else 3,
+                                 s=a[3] if len(a) > 3 else 1, dtype=dtype)
+    if k == "CrossConv":
+        return L.CrossConv(a[0], a[1], k=a[2] if len(a) > 2 else 3,
+                           s=a[3] if len(a) > 3 else 1, dtype=dtype)
+    if k == "Contract":
+        return L.Contract(gain=a[0] if a else 2)
+    if k == "Expand":
+        return L.Expand(gain=a[0] if a else 2)
+    if k == "Concat":
+        return L.Concat()
+    if k == "Add":
+        return L.Add()
+    if k == "Add2":
+        return L.Add2(index=a[1])
+    if k == "GPT":
+        return CrossModalFusion(d_model=a[0], dtype=dtype)
+    if k == "Upsample":
+        # reference rows: [None, 2, 'nearest']
+        scale = a[1] if len(a) > 1 else 2
+        mode = a[2] if len(a) > 2 else "nearest"
+        return L.Upsample(scale=int(scale), mode=str(mode))
+    raise ValueError(f"no builder for module kind {k!r}")
+
+
+class DetectionModel(nn.Module):
+    """Executable detection graph. Call with NHWC uint8-scaled floats.
+
+    Returns the tuple of raw per-scale Detect outputs
+    ``((B, ny, nx, na, 5+nc), ...)``; use `decode` for flat detections.
+    """
+
+    spec: ModelSpec
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        mods = []
+        for node in self.spec.nodes:
+            if node.kind == "Detect":
+                mods.append(Detect(nc=node.args[0], anchors=self.spec.anchors,
+                                   strides=self.spec.strides, dtype=self.dtype))
+            elif node.repeats > 1:
+                mods.append([_build_module(node, self.dtype)
+                             for _ in range(node.repeats)])
+            else:
+                mods.append(_build_module(node, self.dtype))
+        self.blocks = mods
+
+    def __call__(self, x, x2=None, train: bool = False):
+        if self.spec.two_stream and x2 is None:
+            raise ValueError("two-stream model needs both RGB and IR inputs")
+        saved = {}
+        cur = x.astype(self.dtype)
+        x2 = None if x2 is None else x2.astype(self.dtype)
+        for node, mod in zip(self.spec.nodes, self.blocks):
+            if node.frm == (-4,):
+                inp = x2
+            elif node.frm == (-1,):
+                inp = cur
+            elif len(node.frm) == 1:
+                inp = saved[node.frm[0]]
+            else:
+                inp = [cur if j == -1 else saved[j] for j in node.frm]
+            if isinstance(mod, (list, tuple)):
+                for m in mod:
+                    inp = m(inp, train=train)
+                cur = inp
+            else:
+                cur = mod(inp, train=train)
+            if node.index in self.spec.save:
+                saved[node.index] = cur
+        return cur
+
+    def decode(self, feats):
+        anc = np.asarray(self.spec.anchors, dtype=np.float32).reshape(
+            self.spec.nl, -1, 2)
+        return decode_predictions(feats, anc, self.spec.strides)
+
+
+def build_model(cfg, ch_in: int = 3, nc: Optional[int] = None, anchors=None,
+                dtype=jnp.float32) -> DetectionModel:
+    """YAML path/dict -> DetectionModel (the `Model(cfg)` of yolo_test.py:165)."""
+    spec = cfg if isinstance(cfg, ModelSpec) else parse_model_config(
+        cfg, ch_in=ch_in, nc=nc, anchors=anchors)
+    return DetectionModel(spec=spec, dtype=dtype)

@@ -1,0 +1,138 @@
+"""Model DSL + graph executor tests.
+
+Parameter counts were verified once against the reference implementation
+executed under torch (models/yolo_test.py Model): yolov5s = 7,276,605 and
+yolov5l_fusion_transformerx3 (nc=1) = 206,247,222. These golden numbers pin
+the DSL channel bookkeeping, width/depth gains, CFT widths and Detect head.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multispectral_object_detection_tpu.models import build_model, parse_model_config
+from multispectral_object_detection_tpu.models.configs import (
+    get_config, yolov5, yolov5_two_stream)
+
+
+def n_params(shapes):
+    return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(shapes))
+
+
+def test_yolov5s_param_count_matches_reference():
+    m = build_model(yolov5("s"))
+    shapes = jax.eval_shape(m.init, jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    assert n_params(shapes["params"]) == 7276605
+
+
+def test_cft_transformerx3_l_param_count_matches_reference():
+    m = build_model(yolov5_two_stream("l", nc=1, fusion="transformerx3"))
+    shapes = jax.eval_shape(m.init, jax.random.PRNGKey(0),
+                            jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3)))
+    assert n_params(shapes["params"]) == 206247222
+
+
+def test_single_stream_forward_shapes():
+    m = build_model(yolov5("s"))
+    x = jnp.zeros((2, 64, 64, 3))
+    v = m.init(jax.random.PRNGKey(0), x)
+    feats = m.apply(v, x)
+    assert [f.shape for f in feats] == [
+        (2, 8, 8, 3, 85), (2, 4, 4, 3, 85), (2, 2, 2, 3, 85)]
+
+
+def test_two_stream_add_forward_shapes():
+    m = build_model(yolov5_two_stream("s", nc=1, fusion="add"))
+    x = jnp.zeros((1, 64, 64, 3))
+    v = m.init(jax.random.PRNGKey(0), x, x)
+    feats = m.apply(v, x, x)
+    assert [f.shape for f in feats] == [
+        (1, 8, 8, 3, 6), (1, 4, 4, 3, 6), (1, 2, 2, 3, 6)]
+
+
+def test_two_stream_cft_forward_shapes_small():
+    # scale 's' keeps the CPU test fast; same graph topology as the paper's 'l'
+    m = build_model(yolov5_two_stream("s", nc=1, fusion="transformerx3"))
+    x = jnp.zeros((1, 64, 64, 3))
+    v = m.init(jax.random.PRNGKey(0), x, x)
+    feats = m.apply(v, x, x)
+    assert [f.shape for f in feats] == [
+        (1, 8, 8, 3, 6), (1, 4, 4, 3, 6), (1, 2, 2, 3, 6)]
+
+
+def test_decode_shapes_and_ranges():
+    m = build_model(yolov5("s", nc=2))
+    x = jnp.zeros((1, 64, 64, 3))
+    v = m.init(jax.random.PRNGKey(0), x)
+    feats = m.apply(v, x)
+    dets = m.decode(feats)
+    n = 3 * (8 * 8 + 4 * 4 + 2 * 2)
+    assert dets.shape == (1, n, 7)
+    # decoded xy must lie within the (stride-scaled) canvas bounds
+    assert float(jnp.min(dets[..., 0])) >= -8.0
+    assert float(jnp.max(dets[..., 0])) <= 72.0
+    # obj/cls are probabilities
+    assert float(jnp.min(dets[..., 4:])) >= 0.0
+    assert float(jnp.max(dets[..., 4:])) <= 1.0
+
+
+def test_detect_bias_prior():
+    """Detect conv bias carries the focal prior (yolo_test.py:274-282)."""
+    m = build_model(yolov5("s", nc=80))
+    v = jax.eval_shape(m.init, jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    # actual init for the head conv only: build real variables on tiny input
+    m2 = build_model(yolov5("s", nc=80))
+    vv = m2.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    # find detect bias params
+    params = vv["params"]
+    detect_key = [k for k in params if "Detect" in k or "blocks_24" in k]
+    assert detect_key, list(params)[:5]
+    head = params[detect_key[0]]
+    b0 = np.asarray(head["m0"]["bias"]).reshape(3, 85)
+    np.testing.assert_allclose(b0[:, 4], np.log(8 / (640 / 8) ** 2), rtol=1e-5)
+    np.testing.assert_allclose(b0[:, 5:], np.log(0.6 / (80 - 0.99)), rtol=1e-5)
+
+
+def test_savelist_and_from_semantics():
+    spec = parse_model_config(yolov5_two_stream("s", nc=1, fusion="transformerx3"))
+    assert spec.two_stream
+    # CFT inputs and Add sources must be saved
+    # (31, the fused P5, is consumed as `-1` by the first head row, so it is
+    # intentionally NOT in the savelist — same as the reference.)
+    for idx in (4, 9, 10, 11, 12, 14, 16, 17, 18, 19, 22, 25, 26, 29, 30):
+        assert idx in spec.save, idx
+
+
+def test_get_config_by_name():
+    c = get_config("yolov5l_fusion_transformerx3", nc=1)
+    assert c["depth_multiple"] == 1.0
+    c2 = get_config("yolov5m")
+    assert c2["width_multiple"] == 0.75
+
+
+def test_reference_yaml_format_loads():
+    """The parser accepts reference-format YAML text (capability parity)."""
+    import io, yaml
+    txt = """
+nc: 80
+depth_multiple: 0.33
+width_multiple: 0.50
+anchors:
+  - [10,13, 16,30, 33,23]
+  - [30,61, 62,45, 59,119]
+  - [116,90, 156,198, 373,326]
+backbone:
+  [[-1, 1, Focus, [64, 3]],
+   [-1, 1, Conv, [128, 3, 2]],
+   [-1, 3, C3, [128]],
+   [-1, 1, Conv, [256, 3, 2]],
+   [-1, 9, C3, [256]]]
+head:
+  [[[2, 4], 1, Concat, [1]],
+   [[4], 1, Detect, [nc, anchors]]]
+"""
+    spec = parse_model_config(yaml.safe_load(txt))
+    assert spec.nodes[0].kind == "Focus"
+    assert spec.nodes[-1].kind == "Detect"
+    assert spec.nodes[-2].c2 == 64 + 128  # concat sums width-scaled channels
