@@ -1,0 +1,260 @@
+"""Host-side image augmentation for the paired RGB/IR pipeline.
+
+Fresh numpy/cv2 implementation of the reference augmentation semantics
+(utils/datasets.py:1320-1968):
+
+- `load_scaled`: decode + longest-side resize (AREA down / LINEAR up,
+  datasets.py:1320-1334); the paired variant applies the RGB geometry to both.
+- `letterbox`: aspect-preserving resize + gray-114 pad to a stride multiple
+  (datasets.py:1698-1728).
+- `mosaic4_pair`: 4-tile mosaic on a 2s canvas with identical placement for
+  both modalities (datasets.py:1464-1603).
+- `random_affine_pair`: composed center/rotate/scale/shear/translate matrix,
+  ONE matrix applied to both modalities (datasets.py:1819-1914), with the
+  reference's box-candidates filter (datasets.py:1917).
+- `augment_hsv`: HSV LUT jitter, drawn independently per modality
+  (datasets.py:1374-1385).
+
+Everything operates on HWC uint8 numpy arrays and label arrays of
+[cls, x1, y1, x2, y2] (pixel xyxy) unless noted.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from typing import List, Optional, Sequence, Tuple
+
+import cv2
+import numpy as np
+
+PAD_COLOR = (114, 114, 114)
+
+
+def load_scaled(path: str, img_size: int) -> Tuple[np.ndarray, Tuple[int, int]]:
+    """Decode and resize so the longest side equals img_size.
+
+    Returns (image RGB uint8, original (h, w)).
+    """
+    im = cv2.imread(path)  # BGR
+    if im is None:
+        raise FileNotFoundError(f"image not found: {path}")
+    h0, w0 = im.shape[:2]
+    r = img_size / max(h0, w0)
+    if r != 1:
+        interp = cv2.INTER_AREA if r < 1 else cv2.INTER_LINEAR
+        im = cv2.resize(im, (int(w0 * r), int(h0 * r)), interpolation=interp)
+    return im[:, :, ::-1], (h0, w0)  # BGR -> RGB
+
+
+def load_scaled_pair(path_rgb: str, path_ir: str, img_size: int):
+    """Paired decode; the IR frame is resized with the RGB ratio
+    (datasets.py:1337-1370)."""
+    rgb, (h0, w0) = load_scaled(path_rgb, img_size)
+    ir = cv2.imread(path_ir)
+    if ir is None:
+        raise FileNotFoundError(f"image not found: {path_ir}")
+    r = img_size / max(h0, w0)
+    if r != 1:
+        interp = cv2.INTER_AREA if r < 1 else cv2.INTER_LINEAR
+        ir = cv2.resize(ir, (int(ir.shape[1] * r), int(ir.shape[0] * r)),
+                        interpolation=interp)
+    return rgb, ir[:, :, ::-1], (h0, w0)
+
+
+def letterbox(im: np.ndarray, new_shape: Tuple[int, int], *, auto: bool = False,
+              scale_fill: bool = False, scaleup: bool = True,
+              stride: int = 32):
+    """Aspect-preserving resize + centered gray pad (datasets.py:1698).
+
+    Returns (image, (rw, rh) gain, (dw, dh) one-side pads).
+    """
+    shape = im.shape[:2]
+    if isinstance(new_shape, int):
+        new_shape = (new_shape, new_shape)
+    r = min(new_shape[0] / shape[0], new_shape[1] / shape[1])
+    if not scaleup:
+        r = min(r, 1.0)
+    ratio = (r, r)
+    new_unpad = (int(round(shape[1] * r)), int(round(shape[0] * r)))
+    dw, dh = new_shape[1] - new_unpad[0], new_shape[0] - new_unpad[1]
+    if auto:
+        dw, dh = dw % stride, dh % stride
+    elif scale_fill:
+        dw, dh = 0, 0
+        new_unpad = (new_shape[1], new_shape[0])
+        ratio = (new_shape[1] / shape[1], new_shape[0] / shape[0])
+    dw /= 2
+    dh /= 2
+    if shape[::-1] != new_unpad:
+        im = cv2.resize(im, new_unpad, interpolation=cv2.INTER_LINEAR)
+    top, bottom = int(round(dh - 0.1)), int(round(dh + 0.1))
+    left, right = int(round(dw - 0.1)), int(round(dw + 0.1))
+    im = cv2.copyMakeBorder(im, top, bottom, left, right,
+                            cv2.BORDER_CONSTANT, value=PAD_COLOR)
+    return im, ratio, (dw, dh)
+
+
+def augment_hsv(im: np.ndarray, hgain: float = 0.5, sgain: float = 0.5,
+                vgain: float = 0.5, rng: Optional[random.Random] = None) -> np.ndarray:
+    """HSV LUT jitter (datasets.py:1374). RGB in, RGB out."""
+    rng = rng or random
+    r = np.array([rng.uniform(-1, 1) for _ in range(3)]) * [hgain, sgain, vgain] + 1
+    hue, sat, val = cv2.split(cv2.cvtColor(im, cv2.COLOR_RGB2HSV))
+    x = np.arange(0, 256, dtype=np.int16)
+    lut_h = ((x * r[0]) % 180).astype(im.dtype)
+    lut_s = np.clip(x * r[1], 0, 255).astype(im.dtype)
+    lut_v = np.clip(x * r[2], 0, 255).astype(im.dtype)
+    im_hsv = cv2.merge((cv2.LUT(hue, lut_h), cv2.LUT(sat, lut_s),
+                        cv2.LUT(val, lut_v))).astype(im.dtype)
+    return cv2.cvtColor(im_hsv, cv2.COLOR_HSV2RGB)
+
+
+def _box_candidates(box1: np.ndarray, box2: np.ndarray, wh_thr: float = 2.0,
+                    ar_thr: float = 20.0, area_thr: float = 0.1) -> np.ndarray:
+    """Keep boxes that survived the warp (datasets.py:1917)."""
+    w1, h1 = box1[2] - box1[0], box1[3] - box1[1]
+    w2, h2 = box2[2] - box2[0], box2[3] - box2[1]
+    ar = np.maximum(w2 / (h2 + 1e-16), h2 / (w2 + 1e-16))
+    return ((w2 > wh_thr) & (h2 > wh_thr)
+            & (w2 * h2 / (w1 * h1 + 1e-16) > area_thr) & (ar < ar_thr))
+
+
+def build_affine_matrix(width: int, height: int, *, degrees: float = 0.0,
+                        translate: float = 0.1, scale: float = 0.5,
+                        shear: float = 0.0, perspective: float = 0.0,
+                        border: Tuple[int, int] = (0, 0),
+                        rng: Optional[random.Random] = None):
+    """Compose the C*P*R*S*T warp of datasets.py:1731-1817. Returns (M, s)."""
+    rng = rng or random
+    C = np.eye(3)
+    C[0, 2] = -width / 2
+    C[1, 2] = -height / 2
+
+    P = np.eye(3)
+    P[2, 0] = rng.uniform(-perspective, perspective)
+    P[2, 1] = rng.uniform(-perspective, perspective)
+
+    R = np.eye(3)
+    a = rng.uniform(-degrees, degrees)
+    s = rng.uniform(1 - scale, 1 + scale)
+    R[:2] = cv2.getRotationMatrix2D(angle=a, center=(0, 0), scale=s)
+
+    S = np.eye(3)
+    S[0, 1] = math.tan(rng.uniform(-shear, shear) * math.pi / 180)
+    S[1, 0] = math.tan(rng.uniform(-shear, shear) * math.pi / 180)
+
+    out_w = width + border[1] * 2
+    out_h = height + border[0] * 2
+    T = np.eye(3)
+    T[0, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * out_w
+    T[1, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * out_h
+
+    M = T @ S @ R @ P @ C
+    return M, s, (out_w, out_h)
+
+
+def warp_labels(labels: np.ndarray, M: np.ndarray, s: float,
+                out_wh: Tuple[int, int], perspective: float = 0.0) -> np.ndarray:
+    """Apply the warp to [cls, xyxy] labels + candidates filter
+    (datasets.py:1875-1914)."""
+    n = len(labels)
+    if n == 0:
+        return labels
+    xy = np.ones((n * 4, 3))
+    xy[:, :2] = labels[:, [1, 2, 3, 4, 1, 4, 3, 2]].reshape(n * 4, 2)  # corners
+    xy = xy @ M.T
+    xy = (xy[:, :2] / xy[:, 2:3] if perspective else xy[:, :2]).reshape(n, 8)
+    x = xy[:, [0, 2, 4, 6]]
+    y = xy[:, [1, 3, 5, 7]]
+    new = np.stack([x.min(1), y.min(1), x.max(1), y.max(1)], axis=1)
+    new[:, [0, 2]] = new[:, [0, 2]].clip(0, out_wh[0])
+    new[:, [1, 3]] = new[:, [1, 3]].clip(0, out_wh[1])
+    keep = _box_candidates(labels[:, 1:5].T * s, new.T)
+    out = labels[keep].copy()
+    out[:, 1:5] = new[keep]
+    return out
+
+
+def random_affine_pair(im_rgb: np.ndarray, im_ir: np.ndarray,
+                       labels: np.ndarray, *, degrees: float = 0.0,
+                       translate: float = 0.1, scale: float = 0.5,
+                       shear: float = 0.0, perspective: float = 0.0,
+                       border: Tuple[int, int] = (0, 0),
+                       rng: Optional[random.Random] = None):
+    """One sampled warp applied to BOTH modalities (datasets.py:1860-1869)."""
+    height, width = im_rgb.shape[0], im_rgb.shape[1]
+    M, s, (out_w, out_h) = build_affine_matrix(
+        width, height, degrees=degrees, translate=translate, scale=scale,
+        shear=shear, perspective=perspective, border=border, rng=rng)
+    out_w, out_h = width + border[1] * 2, height + border[0] * 2
+    if (border[0] != 0) or (border[1] != 0) or (M != np.eye(3)).any():
+        if perspective:
+            im_rgb = cv2.warpPerspective(im_rgb, M, dsize=(out_w, out_h),
+                                         borderValue=PAD_COLOR)
+            im_ir = cv2.warpPerspective(im_ir, M, dsize=(out_w, out_h),
+                                        borderValue=PAD_COLOR)
+        else:
+            im_rgb = cv2.warpAffine(im_rgb, M[:2], dsize=(out_w, out_h),
+                                    borderValue=PAD_COLOR)
+            im_ir = cv2.warpAffine(im_ir, M[:2], dsize=(out_w, out_h),
+                                   borderValue=PAD_COLOR)
+    labels = warp_labels(labels, M, s, (out_w, out_h), perspective)
+    return im_rgb, im_ir, labels
+
+
+def mosaic4_pair(load_fn, indices: Sequence[int], img_size: int,
+                 hyp: dict, rng: Optional[random.Random] = None):
+    """Paired 4-tile mosaic (datasets.py:1464-1603).
+
+    load_fn(i) -> (rgb, ir, labels_xywhn) where labels are [cls,x,y,w,h]
+    normalized to the loaded image. Returns (rgb, ir, labels_xyxy) at
+    img_size x img_size after the shared affine crop.
+    """
+    rng = rng or random
+    s = img_size
+    yc = int(rng.uniform(s // 2, 2 * s - s // 2))
+    xc = int(rng.uniform(s // 2, 2 * s - s // 2))
+    canvas_rgb = np.full((s * 2, s * 2, 3), 114, dtype=np.uint8)
+    canvas_ir = np.full((s * 2, s * 2, 3), 114, dtype=np.uint8)
+    all_labels: List[np.ndarray] = []
+
+    for i, idx in enumerate(indices):
+        rgb, ir, labels = load_fn(idx)
+        h, w = rgb.shape[:2]
+        if i == 0:  # top-left
+            x1a, y1a, x2a, y2a = max(xc - w, 0), max(yc - h, 0), xc, yc
+            x1b, y1b, x2b, y2b = w - (x2a - x1a), h - (y2a - y1a), w, h
+        elif i == 1:  # top-right
+            x1a, y1a, x2a, y2a = xc, max(yc - h, 0), min(xc + w, s * 2), yc
+            x1b, y1b, x2b, y2b = 0, h - (y2a - y1a), min(w, x2a - x1a), h
+        elif i == 2:  # bottom-left
+            x1a, y1a, x2a, y2a = max(xc - w, 0), yc, xc, min(s * 2, yc + h)
+            x1b, y1b, x2b, y2b = w - (x2a - x1a), 0, w, min(y2a - y1a, h)
+        else:  # bottom-right
+            x1a, y1a, x2a, y2a = xc, yc, min(xc + w, s * 2), min(s * 2, yc + h)
+            x1b, y1b, x2b, y2b = 0, 0, min(w, x2a - x1a), min(y2a - y1a, h)
+        canvas_rgb[y1a:y2a, x1a:x2a] = rgb[y1b:y2b, x1b:x2b]
+        canvas_ir[y1a:y2a, x1a:x2a] = ir[y1b:y2b, x1b:x2b]
+        padw, padh = x1a - x1b, y1a - y1b
+        if labels.size:
+            lab = labels.copy()
+            # xywhn -> xyxy with tile offset
+            lab_xyxy = np.empty_like(lab)
+            lab_xyxy[:, 0] = lab[:, 0]
+            lab_xyxy[:, 1] = w * (lab[:, 1] - lab[:, 3] / 2) + padw
+            lab_xyxy[:, 2] = h * (lab[:, 2] - lab[:, 4] / 2) + padh
+            lab_xyxy[:, 3] = w * (lab[:, 1] + lab[:, 3] / 2) + padw
+            lab_xyxy[:, 4] = h * (lab[:, 2] + lab[:, 4] / 2) + padh
+            all_labels.append(lab_xyxy)
+
+    labels = (np.concatenate(all_labels, 0) if all_labels
+              else np.zeros((0, 5), dtype=np.float32))
+    labels[:, 1:5] = labels[:, 1:5].clip(0, 2 * s)
+
+    return random_affine_pair(
+        canvas_rgb, canvas_ir, labels,
+        degrees=hyp.get("degrees", 0.0), translate=hyp.get("translate", 0.1),
+        scale=hyp.get("scale", 0.5), shear=hyp.get("shear", 0.0),
+        perspective=hyp.get("perspective", 0.0),
+        border=(-s // 2, -s // 2), rng=rng)

@@ -1,0 +1,335 @@
+"""Datasets and batch pipeline for single-stream and paired RGB+IR detection.
+
+Capability parity with utils/datasets.py (LoadImagesAndLabels:524,
+LoadMultiModalImagesAndLabels:820, create_dataloader_rgb_ir:223), re-designed
+for an XLA consumer:
+
+- every batch has a STATIC shape: images (B, S, S, 3[+3]) uint8 and a padded
+  flat target tensor (B*max_labels, 6) [img, cls, x, y, w, h] + validity
+  mask — no ragged collation, no per-batch recompiles;
+- paired mosaic / one-matrix affine / independent HSV / shared flip exactly
+  as the reference applies them (datasets.py:1155-1281);
+- labels are read from the RGB annotations only (datasets.py:1211-1216);
+- label caching: a .npz sidecar keyed by a hash of file sizes
+  (datasets.py:84-101, 632-685);
+- a background-thread double-buffered prefetcher replaces the torch
+  DataLoader worker pool (the host here has few cores; heavy lifting is
+  device-side).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import random
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .augment import (augment_hsv, letterbox, load_scaled, load_scaled_pair,
+                      mosaic4_pair, random_affine_pair)
+
+IMG_EXTS = {".bmp", ".jpg", ".jpeg", ".png", ".tif", ".tiff", ".webp"}
+
+
+def list_images(source: str) -> List[str]:
+    """Expand a directory, glob, or listing file into image paths
+    (datasets.py:536-556 semantics)."""
+    p = Path(source)
+    if p.is_dir():
+        files = sorted(str(f) for f in p.rglob("*") if f.suffix.lower() in IMG_EXTS)
+    elif p.is_file() and p.suffix == ".txt":
+        base = p.parent
+        files = []
+        for line in p.read_text().splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            q = Path(line)
+            files.append(str(q if q.is_absolute() else base / q))
+    elif p.is_file():
+        files = [str(p)]
+    else:
+        raise FileNotFoundError(f"dataset source not found: {source}")
+    if not files:
+        raise FileNotFoundError(f"no images under {source}")
+    return files
+
+
+def image_to_label_path(img_path: str) -> str:
+    """images/ -> labels/, .ext -> .txt (datasets.py:518-521)."""
+    sa, sb = f"{os.sep}images{os.sep}", f"{os.sep}labels{os.sep}"
+    parts = img_path.rsplit(sa, 1)
+    stem = (sb.join(parts) if len(parts) == 2 else img_path)
+    return os.path.splitext(stem)[0] + ".txt"
+
+
+def read_label_file(path: str, nc: Optional[int] = None) -> np.ndarray:
+    """YOLO txt -> (n, 5) [cls, x, y, w, h] normalized; validates like
+    datasets.py:1103-1121."""
+    if not os.path.isfile(path):
+        return np.zeros((0, 5), dtype=np.float32)
+    rows = []
+    for line in Path(path).read_text().splitlines():
+        vals = line.split()
+        if len(vals) >= 5:
+            rows.append([float(v) for v in vals[:5]])
+    if not rows:
+        return np.zeros((0, 5), dtype=np.float32)
+    lab = np.asarray(rows, dtype=np.float32)
+    assert (lab >= 0).all(), f"negative label values in {path}"
+    assert (lab[:, 1:] <= 1).all(), f"non-normalized coordinates in {path}"
+    if nc is not None:
+        assert (lab[:, 0] < nc).all(), f"label class exceeds nc={nc} in {path}"
+    return lab
+
+
+def _files_hash(paths: Sequence[str]) -> str:
+    h = hashlib.md5()
+    for p in paths:
+        h.update(p.encode())
+        try:
+            h.update(str(os.path.getsize(p)).encode())
+        except OSError:
+            pass
+    return h.hexdigest()
+
+
+def load_labels_cached(img_files: Sequence[str], cache_dir: Optional[str] = None,
+                       nc: Optional[int] = None) -> List[np.ndarray]:
+    """Load all label files with an .npz cache keyed by file sizes."""
+    label_files = [image_to_label_path(p) for p in img_files]
+    key = _files_hash(list(img_files) + label_files)
+    cache_path = None
+    if cache_dir:
+        cache_path = Path(cache_dir) / f"labels_{key[:16]}.npz"
+        if cache_path.is_file():
+            z = np.load(cache_path, allow_pickle=True)
+            if str(z.get("hash")) == key:
+                return list(z["labels"])
+    labels = [read_label_file(p, nc) for p in label_files]
+    if cache_path is not None:
+        cache_path.parent.mkdir(parents=True, exist_ok=True)
+        np.savez(cache_path, hash=key,
+                 labels=np.asarray(labels, dtype=object))
+    return labels
+
+
+class PairedDetectionDataset:
+    """Paired RGB+IR (or single-modality when ir_files is None) dataset.
+
+    __getitem__-style `get(i, rng)` returns:
+        rgb  (S, S, 3) uint8
+        ir   (S, S, 3) uint8 or None
+        labels (n, 5) [cls, x, y, w, h] normalized to the output canvas
+        shape_info (h0, w0, ratio, pad) for eval coordinate rescaling
+    """
+
+    def __init__(self, rgb_files: Sequence[str],
+                 ir_files: Optional[Sequence[str]] = None, *,
+                 img_size: int = 640, augment: bool = False,
+                 hyp: Optional[dict] = None, nc: Optional[int] = None,
+                 cache_dir: Optional[str] = None, pad: float = 0.0,
+                 scaleup_eval: bool = False):
+        self.rgb_files = list(rgb_files)
+        self.ir_files = list(ir_files) if ir_files is not None else None
+        if self.ir_files is not None:
+            assert len(self.ir_files) == len(self.rgb_files), \
+                "RGB/IR list length mismatch"
+        self.img_size = img_size
+        self.augment = augment
+        self.hyp = dict(hyp or {})
+        self.labels = load_labels_cached(self.rgb_files, cache_dir, nc)
+        self.pad = pad
+        self.scaleup_eval = scaleup_eval
+
+    def __len__(self):
+        return len(self.rgb_files)
+
+    @classmethod
+    def from_sources(cls, rgb_source: str, ir_source: Optional[str] = None,
+                     **kw) -> "PairedDetectionDataset":
+        rgb = list_images(rgb_source)
+        ir = list_images(ir_source) if ir_source else None
+        if ir is not None:
+            assert len(ir) == len(rgb), (
+                f"paired datasets must align: {len(rgb)} RGB vs {len(ir)} IR")
+        return cls(rgb, ir, **kw)
+
+    # -- raw tile loader for mosaic ------------------------------------------
+    def _load_pair(self, i: int):
+        if self.ir_files is None:
+            rgb, hw0 = load_scaled(self.rgb_files[i], self.img_size)
+            return rgb, rgb, self.labels[i], hw0
+        rgb, ir, hw0 = load_scaled_pair(self.rgb_files[i], self.ir_files[i],
+                                        self.img_size)
+        return rgb, ir, self.labels[i], hw0
+
+    # -- main sample assembly -------------------------------------------------
+    def get(self, i: int, rng: Optional[random.Random] = None):
+        rng = rng or random
+        hyp = self.hyp
+        s = self.img_size
+        use_mosaic = self.augment and rng.random() < hyp.get("mosaic", 1.0)
+
+        if use_mosaic:
+            idxs = [i] + [rng.randint(0, len(self) - 1) for _ in range(3)]
+            rgb, ir, lab_xyxy = mosaic4_pair(
+                lambda j: self._load_pair(j)[:3], idxs, s, hyp, rng)
+            shape_info = ((s, s), ((1.0, 1.0), (0.0, 0.0)))
+        else:
+            rgb0, ir0, lab, hw0 = self._load_pair(i)
+            h, w = rgb0.shape[:2]
+            rgb, ratio, padwh = letterbox(
+                rgb0, (s, s), auto=False,
+                scaleup=self.augment or self.scaleup_eval)
+            ir, _, _ = letterbox(ir0, (s, s), auto=False,
+                                 scaleup=self.augment or self.scaleup_eval)
+            lab_xyxy = lab.copy()
+            if lab.size:
+                lab_xyxy[:, 1] = ratio[0] * w * (lab[:, 1] - lab[:, 3] / 2) + padwh[0]
+                lab_xyxy[:, 2] = ratio[1] * h * (lab[:, 2] - lab[:, 4] / 2) + padwh[1]
+                lab_xyxy[:, 3] = ratio[0] * w * (lab[:, 1] + lab[:, 3] / 2) + padwh[0]
+                lab_xyxy[:, 4] = ratio[1] * h * (lab[:, 2] + lab[:, 4] / 2) + padwh[1]
+            if self.augment:
+                rgb, ir, lab_xyxy = random_affine_pair(
+                    rgb, ir, lab_xyxy,
+                    degrees=hyp.get("degrees", 0.0),
+                    translate=hyp.get("translate", 0.1),
+                    scale=hyp.get("scale", 0.5),
+                    shear=hyp.get("shear", 0.0),
+                    perspective=hyp.get("perspective", 0.0), rng=rng)
+            shape_info = (hw0, (ratio, padwh))
+
+        if self.augment:
+            # independent HSV per modality (datasets.py:1230-1231)
+            rgb = augment_hsv(rgb, hyp.get("hsv_h", 0.015),
+                              hyp.get("hsv_s", 0.7), hyp.get("hsv_v", 0.4), rng)
+            if self.ir_files is not None:
+                ir = augment_hsv(ir, hyp.get("hsv_h", 0.015),
+                                 hyp.get("hsv_s", 0.7), hyp.get("hsv_v", 0.4), rng)
+
+        # xyxy -> normalized xywh on the output canvas
+        hh, ww = rgb.shape[:2]
+        labels = np.zeros((len(lab_xyxy), 5), dtype=np.float32)
+        if len(lab_xyxy):
+            labels[:, 0] = lab_xyxy[:, 0]
+            labels[:, 1] = ((lab_xyxy[:, 1] + lab_xyxy[:, 3]) / 2) / ww
+            labels[:, 2] = ((lab_xyxy[:, 2] + lab_xyxy[:, 4]) / 2) / hh
+            labels[:, 3] = (lab_xyxy[:, 3] - lab_xyxy[:, 1]) / ww
+            labels[:, 4] = (lab_xyxy[:, 4] - lab_xyxy[:, 2]) / hh
+
+        if self.augment:
+            # shared flips (datasets.py:1250-1264)
+            if rng.random() < hyp.get("flipud", 0.0):
+                rgb = np.flipud(rgb)
+                ir = np.flipud(ir)
+                if len(labels):
+                    labels[:, 2] = 1.0 - labels[:, 2]
+            if rng.random() < hyp.get("fliplr", 0.5):
+                rgb = np.fliplr(rgb)
+                ir = np.fliplr(ir)
+                if len(labels):
+                    labels[:, 1] = 1.0 - labels[:, 1]
+
+        rgb = np.ascontiguousarray(rgb)
+        ir = np.ascontiguousarray(ir) if self.ir_files is not None else None
+        return rgb, ir, labels, shape_info
+
+
+def collate_batch(samples, max_labels: int = 120):
+    """Stack samples into static-shape arrays.
+
+    Returns dict with:
+        rgb (B,S,S,3) uint8 | ir (B,S,S,3) uint8 or absent
+        targets (B*max_labels, 6) [img, cls, x, y, w, h]
+        tmask (B*max_labels,) float32
+        shapes: python list of shape_info (host-side, for eval rescale)
+    """
+    rgbs, irs, tlist, shapes = [], [], [], []
+    for bi, (rgb, ir, labels, shape_info) in enumerate(samples):
+        rgbs.append(rgb)
+        if ir is not None:
+            irs.append(ir)
+        t = np.zeros((max_labels, 6), dtype=np.float32)
+        n = min(len(labels), max_labels)
+        if n:
+            t[:n, 0] = bi
+            t[:n, 1:] = labels[:n]
+        m = np.zeros((max_labels,), dtype=np.float32)
+        m[:n] = 1.0
+        tlist.append((t, m))
+        shapes.append(shape_info)
+    out = {
+        "rgb": np.stack(rgbs),
+        "targets": np.concatenate([t for t, _ in tlist], 0),
+        "tmask": np.concatenate([m for _, m in tlist], 0),
+        "shapes": shapes,
+    }
+    if irs:
+        out["ir"] = np.stack(irs)
+    return out
+
+
+class BatchLoader:
+    """Epoch iterator with deterministic shuffling + background prefetch.
+
+    Replaces create_dataloader_rgb_ir (datasets.py:223) / InfiniteDataLoader:
+    single-threaded assembly with a 2-deep pipeline thread (this host is
+    CPU-poor; the device does the heavy math).
+    """
+
+    def __init__(self, dataset: PairedDetectionDataset, batch_size: int, *,
+                 shuffle: bool = False, seed: int = 0, max_labels: int = 120,
+                 drop_last: bool = True, prefetch: bool = True):
+        self.ds = dataset
+        self.bs = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.epoch = 0
+        self.max_labels = max_labels
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+
+    def __len__(self):
+        n = len(self.ds)
+        return n // self.bs if self.drop_last else -(-n // self.bs)
+
+    def _indices(self):
+        idx = np.arange(len(self.ds))
+        if self.shuffle:
+            np.random.default_rng(self.seed + self.epoch).shuffle(idx)
+        return idx
+
+    def _assemble(self, batch_idx, rng):
+        return collate_batch([self.ds.get(int(i), rng) for i in batch_idx],
+                             self.max_labels)
+
+    def __iter__(self):
+        idx = self._indices()
+        rng = random.Random(self.seed * 1000003 + self.epoch)
+        nb = len(self)
+        batches = [idx[k * self.bs:(k + 1) * self.bs] for k in range(nb)]
+        if not self.prefetch:
+            for b in batches:
+                yield self._assemble(b, rng)
+        else:
+            import queue
+            import threading
+
+            q: "queue.Queue" = queue.Queue(maxsize=2)
+
+            def worker():
+                for b in batches:
+                    q.put(self._assemble(b, rng))
+                q.put(None)
+
+            t = threading.Thread(target=worker, daemon=True)
+            t.start()
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+        self.epoch += 1
