@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import Dict, List
 
 SCALES = {
+    "n": (0.33, 0.25),  # nano: ours, for CPU tests / edge
     "s": (0.33, 0.50),
     "m": (0.67, 0.75),
     "l": (1.00, 1.00),

@@ -1,0 +1,110 @@
+"""Jitted training step + state management.
+
+The reference's epoch loop mutates a torch module in place under AMP/DDP
+(train.py:684-799); here the entire step — forward (bf16 optional), loss,
+gradients, optimizer, EMA, BN-statistics update — is ONE pure jitted
+function over a donated TrainState. Data parallelism is a sharding of the
+batch over the mesh's 'data' axis: XLA inserts the gradient reductions
+(the NCCL all-reduce of train.py:993 has no explicit equivalent).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .loss import DetectionLoss
+from .optim import ema_update
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema_params: Any
+    ema_stats: Any
+    step: jnp.ndarray          # optimizer/EMA update counter
+    ema_updates: jnp.ndarray   # EMA update counter (resume-able)
+
+
+def create_train_state(model, tx, rng, sample_rgb, sample_ir=None) -> TrainState:
+    args = (sample_rgb,) if sample_ir is None else (sample_rgb, sample_ir)
+    variables = model.init(rng, *args, train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        ema_params=jax.tree.map(lambda x: x, params),
+        ema_stats=jax.tree.map(lambda x: x, batch_stats),
+        step=jnp.zeros((), jnp.int32),
+        ema_updates=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_train_step(model, loss_fn: DetectionLoss, tx,
+                    two_stream: bool, ema_decay: float = 0.9999,
+                    donate: bool = True) -> Callable:
+    """Build the jitted train step.
+
+    step(state, rgb, ir, targets, tmask, rng) -> (state, metrics)
+    rgb/ir: (B, S, S, 3) uint8. targets: (T, 6). tmask: (T,).
+    """
+
+    def loss_and_aux(params, batch_stats, rgb, ir, targets, tmask, rng):
+        x = rgb.astype(jnp.float32) / 255.0
+        inputs = (x,) if not two_stream else (x, ir.astype(jnp.float32) / 255.0)
+        out, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            *inputs, train=True, mutable=["batch_stats"],
+            rngs={"dropout": rng},
+        )
+        total, comps = loss_fn(out, targets, tmask)
+        return total, (mutated["batch_stats"], comps)
+
+    def step_fn(state: TrainState, rgb, ir, targets, tmask, rng):
+        (total, (new_stats, comps)), grads = jax.value_and_grad(
+            loss_and_aux, has_aux=True)(
+                state.params, state.batch_stats, rgb, ir, targets, tmask, rng)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        new_updates = state.ema_updates + 1
+        ema_params = ema_update(state.ema_params, new_params, new_updates,
+                                ema_decay)
+        ema_stats = ema_update(state.ema_stats, new_stats, new_updates,
+                               ema_decay)
+        new_state = state.replace(
+            params=new_params, batch_stats=new_stats, opt_state=new_opt,
+            ema_params=ema_params, ema_stats=ema_stats,
+            step=state.step + 1, ema_updates=new_updates)
+        metrics = {k: v for k, v in comps.items()}
+        metrics["grad_norm"] = optax_global_norm(grads)
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def optax_global_norm(tree) -> jnp.ndarray:
+    leaves = jax.tree.leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32)))
+                        for x in leaves))
+
+
+def make_eval_forward(model, two_stream: bool) -> Callable:
+    """Jitted inference forward + decode using EMA weights."""
+
+    @jax.jit
+    def fwd(params, batch_stats, rgb, ir):
+        x = rgb.astype(jnp.float32) / 255.0
+        inputs = (x,) if not two_stream else (x, ir.astype(jnp.float32) / 255.0)
+        feats = model.apply({"params": params, "batch_stats": batch_stats},
+                            *inputs, train=False)
+        return model.decode(feats), feats
+
+    return fwd
