@@ -1,0 +1,118 @@
+"""Headline benchmark: dual-stream 640px inference throughput per chip.
+
+Flagship model: two-stream YOLOv5-L + CFT transformerx3 (the paper config,
+206M params), bf16 compute, batched end-to-end ON DEVICE: forward -> decode
+-> NMS (no host round-trip). Metric: RGB+IR image-pairs/sec on one chip.
+
+Baseline: BASELINE.md targets >=3000 pairs/s on a TPU v5e-8 at mAP parity,
+i.e. 375 pairs/s/chip. vs_baseline = value / 375.
+
+Usage: python bench.py [--batch 16] [--iters 10] [--img 640]
+Prints ONE JSON line to stdout; diagnostics go to stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--img", type=int, default=640)
+    ap.add_argument("--scale", type=str, default="l")
+    ap.add_argument("--no-nms", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multispectral_object_detection_tpu.models import build_model
+    from multispectral_object_detection_tpu.models.configs import yolov5_two_stream
+    from multispectral_object_detection_tpu.models.model import fuse_conv_bn_params
+    from multispectral_object_detection_tpu.ops.nms import batched_nms
+
+    log(f"devices: {jax.devices()}")
+    model = build_model(yolov5_two_stream(args.scale, nc=1,
+                                          fusion="transformerx3"),
+                        dtype=jnp.bfloat16)
+
+    rng = jax.random.PRNGKey(0)
+    b, s = args.batch, args.img
+    rgb = jnp.asarray(np.random.default_rng(0).integers(
+        0, 255, size=(b, s, s, 3), dtype=np.uint8))
+    ir = jnp.asarray(np.random.default_rng(1).integers(
+        0, 255, size=(b, s, s, 3), dtype=np.uint8))
+
+    t0 = time.perf_counter()
+    init_fn = jax.jit(lambda r, a, b: model.init(r, a, b, train=False))
+    variables = init_fn(rng, jnp.zeros((1, s, s, 3)), jnp.zeros((1, s, s, 3)))
+    log(f"init: {time.perf_counter() - t0:.1f}s, params = "
+        f"{sum(x.size for x in jax.tree.leaves(variables['params'])):,}")
+
+    # inference-time BN folding (the reference's Model.fuse())
+    fused_model = build_model(model.spec, dtype=jnp.bfloat16, fused=True)
+    params = fuse_conv_bn_params(variables["params"],
+                                 variables.get("batch_stats", {}))
+    use_nms = not args.no_nms
+
+    @jax.jit
+    def infer(params, rgb_u8, ir_u8):
+        x = rgb_u8.astype(jnp.float32) / 255.0
+        x2 = ir_u8.astype(jnp.float32) / 255.0
+        feats = fused_model.apply({"params": params, "batch_stats": {}},
+                                  x, x2, train=False)
+        dets = fused_model.decode(feats)
+        if use_nms:
+            return batched_nms(dets, conf_thres=0.25, iou_thres=0.45,
+                               multi_label=False, max_det=300, top_k=1024)
+        return dets
+
+    def sync(o):
+        # the experimental axon platform's block_until_ready is unreliable;
+        # a host fetch of one output leaf guarantees completion
+        leaf = jax.tree.leaves(o)[0]
+        np.asarray(leaf)
+
+    t0 = time.perf_counter()
+    out = infer(params, rgb, ir)
+    sync(out)
+    log(f"compile+first run: {time.perf_counter() - t0:.1f}s")
+
+    def timed(n):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = infer(params, rgb, ir)
+        sync(out)
+        return time.perf_counter() - t0
+
+    timed(args.warmup)
+    t_small = timed(max(args.iters // 4, 2))
+    t_big = timed(args.iters)
+    # difference cancels the one-off host-fetch latency
+    n_diff = args.iters - max(args.iters // 4, 2)
+    dt = (t_big - t_small) if n_diff > 0 else t_big
+    pairs_per_sec = args.batch * n_diff / dt
+    log(f"{n_diff} marginal iters x bs{args.batch} in {dt:.3f}s "
+        f"-> {pairs_per_sec:.1f} pairs/s")
+
+    print(json.dumps({
+        "metric": "cft_l_640_dual_stream_inference_pairs_per_sec_per_chip",
+        "value": round(pairs_per_sec, 2),
+        "unit": "image-pairs/s",
+        "vs_baseline": round(pairs_per_sec / 375.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

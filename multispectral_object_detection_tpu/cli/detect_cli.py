@@ -1,0 +1,159 @@
+"""Paired-folder inference CLI — the reference `detect_twostream.py`.
+
+Walks two aligned image folders (RGB + IR), letterboxes on host, runs the
+jitted forward + on-device decode + NMS, rescales boxes to native space, and
+writes annotated images / YOLO-format txt files. FPS accounting matches
+detect_twostream.py:156-159,194.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import time
+from pathlib import Path
+
+import numpy as np
+import yaml
+
+logger = logging.getLogger(__name__)
+
+PALETTE = [(255, 56, 56), (56, 168, 255), (56, 255, 106), (255, 200, 56),
+           (186, 56, 255), (255, 112, 31), (56, 255, 255), (255, 56, 170)]
+
+
+def parse_args(argv=None):
+    ap = argparse.ArgumentParser("detect")
+    ap.add_argument("--cfg", type=str, default="yolov5l_fusion_transformerx3")
+    ap.add_argument("--weights", type=str, required=True)
+    ap.add_argument("--source1", type=str, required=True, help="RGB folder")
+    ap.add_argument("--source2", type=str, default="", help="IR folder")
+    ap.add_argument("--img-size", type=int, default=640)
+    ap.add_argument("--conf-thres", type=float, default=0.4)
+    ap.add_argument("--iou-thres", type=float, default=0.45)
+    ap.add_argument("--max-det", type=int, default=300)
+    ap.add_argument("--nc", type=int, default=1)
+    ap.add_argument("--names", type=str, default="")
+    ap.add_argument("--classes", type=int, nargs="*", default=None)
+    ap.add_argument("--agnostic-nms", action="store_true")
+    ap.add_argument("--project", type=str, default="runs/detect")
+    ap.add_argument("--name", type=str, default="exp")
+    ap.add_argument("--exist-ok", action="store_true")
+    ap.add_argument("--save-txt", action="store_true")
+    ap.add_argument("--save-conf", action="store_true")
+    ap.add_argument("--nosave", action="store_true")
+    ap.add_argument("--fp32", action="store_true")
+    return ap.parse_args(argv)
+
+
+def run(args) -> dict:
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from ..data.augment import letterbox
+    from ..data.datasets import list_images
+    from ..models import build_model
+    from ..models.configs import get_config
+    from ..ops.nms import batched_nms
+    from ..utils.checkpoint import load_inference_params
+    from ..utils.general import check_img_size, increment_path, set_logging
+
+    set_logging()
+    s = check_img_size(args.img_size, 32)
+    save_dir = increment_path(Path(args.project) / args.name,
+                              exist_ok=args.exist_ok)
+    (save_dir / "labels" if args.save_txt else save_dir).mkdir(
+        parents=True, exist_ok=True)
+
+    dtype = jnp.float32 if args.fp32 else jnp.bfloat16
+    cfg = args.cfg if args.cfg.endswith((".yaml", ".yml")) else \
+        get_config(args.cfg, nc=args.nc)
+    model = build_model(cfg, nc=args.nc, dtype=dtype)
+    params, stats = load_inference_params(args.weights)
+    two_stream = model.spec.two_stream
+    names = (args.names.split(",") if args.names
+             else [str(i) for i in range(args.nc)])
+
+    class_mask = None
+    if args.classes is not None:
+        class_mask = np.zeros(args.nc, dtype=bool)
+        class_mask[list(args.classes)] = True
+        class_mask = jnp.asarray(class_mask)
+
+    @jax.jit
+    def infer(rgb_u8, ir_u8):
+        x = rgb_u8.astype(jnp.float32) / 255.0
+        inputs = (x,) if not two_stream else (x, ir_u8.astype(jnp.float32) / 255.0)
+        feats = model.apply({"params": params, "batch_stats": stats},
+                            *inputs, train=False)
+        dets = model.decode(feats)
+        return batched_nms(dets, conf_thres=args.conf_thres,
+                           iou_thres=args.iou_thres, multi_label=False,
+                           agnostic=args.agnostic_nms, max_det=args.max_det,
+                           top_k=1024, class_mask=class_mask)
+
+    files1 = list_images(args.source1)
+    files2 = list_images(args.source2) if args.source2 else files1
+    assert len(files1) == len(files2), "paired sources must align"
+
+    n_det_total = 0
+    t_sum = 0.0
+    for p1, p2 in zip(files1, files2):
+        im0 = cv2.imread(p1)
+        ir0 = cv2.imread(p2)
+        rgb, ratio, pad = letterbox(im0[:, :, ::-1], (s, s), auto=False)
+        ir, _, _ = letterbox(ir0[:, :, ::-1], (s, s), auto=False)
+        t0 = time.perf_counter()
+        det = infer(jnp.asarray(rgb[None]), jnp.asarray(ir[None]))
+        boxes = np.asarray(det.boxes[0])
+        scores = np.asarray(det.scores[0])
+        classes = np.asarray(det.classes[0])
+        valid = np.asarray(det.valid[0])
+        t_sum += time.perf_counter() - t0
+
+        boxes = boxes[valid]
+        scores = scores[valid]
+        classes = classes[valid]
+        # rescale to native space
+        boxes[:, [0, 2]] = (boxes[:, [0, 2]] - pad[0]) / ratio[0]
+        boxes[:, [1, 3]] = (boxes[:, [1, 3]] - pad[1]) / ratio[1]
+        boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, im0.shape[1])
+        boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, im0.shape[0])
+        n_det_total += len(boxes)
+
+        stem = Path(p1).stem
+        if args.save_txt:
+            h0, w0 = im0.shape[:2]
+            lines = []
+            for b, sc, c in zip(boxes, scores, classes):
+                cx, cy = (b[0] + b[2]) / 2 / w0, (b[1] + b[3]) / 2 / h0
+                bw, bh = (b[2] - b[0]) / w0, (b[3] - b[1]) / h0
+                row = (int(c), cx, cy, bw, bh) + ((float(sc),) if args.save_conf else ())
+                lines.append(" ".join(f"{v:.6g}" if isinstance(v, float) else str(v)
+                                      for v in row))
+            (save_dir / "labels" / f"{stem}.txt").write_text("\n".join(lines))
+        if not args.nosave:
+            for b, sc, c in zip(boxes, scores, classes):
+                color = PALETTE[int(c) % len(PALETTE)]
+                for img in (im0, ir0):
+                    cv2.rectangle(img, (int(b[0]), int(b[1])),
+                                  (int(b[2]), int(b[3])), color, 2)
+                    cv2.putText(img, f"{names[int(c)]} {sc:.2f}",
+                                (int(b[0]), int(b[1]) - 4),
+                                cv2.FONT_HERSHEY_SIMPLEX, 0.6, color, 2)
+            cv2.imwrite(str(save_dir / f"{stem}_rgb.jpg"), im0)
+            cv2.imwrite(str(save_dir / f"{stem}_ir.jpg"), ir0)
+
+    fps = len(files1) / t_sum if t_sum > 0 else 0.0
+    logger.info(f"{len(files1)} pairs, {n_det_total} detections, "
+                f"{fps:.1f} FPS -> {save_dir}")
+    return {"n_images": len(files1), "n_det": n_det_total, "fps": fps}
+
+
+def main(argv=None):
+    return run(parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()

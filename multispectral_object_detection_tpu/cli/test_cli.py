@@ -1,0 +1,130 @@
+"""Standalone evaluator CLI — the reference `test.py` (test.py:21-371).
+
+Tasks: val (mAP on the val split), speed (inference+NMS latency at
+conf 0.25 / iou 0.45), study (mAP vs image-size sweep).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import time
+from pathlib import Path
+
+import numpy as np
+import yaml
+
+logger = logging.getLogger(__name__)
+
+
+def parse_args(argv=None):
+    ap = argparse.ArgumentParser("test")
+    ap.add_argument("--cfg", type=str, default="yolov5l_fusion_transformerx3")
+    ap.add_argument("--data", type=str, required=True)
+    ap.add_argument("--weights", type=str, required=True,
+                    help="checkpoint dir (stripped or full)")
+    ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--img-size", type=int, default=640)
+    ap.add_argument("--conf-thres", type=float, default=0.001)
+    ap.add_argument("--iou-thres", type=float, default=0.6)
+    ap.add_argument("--task", type=str, default="val",
+                    choices=["val", "test", "speed", "study"])
+    ap.add_argument("--single-cls", action="store_true")
+    ap.add_argument("--max-labels", type=int, default=300)
+    ap.add_argument("--save-json", type=str, default="")
+    ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--fp32", action="store_true")
+    return ap.parse_args(argv)
+
+
+def _build(args, img_size):
+    import jax.numpy as jnp
+
+    from ..models import build_model
+    from ..models.configs import get_config
+    from ..utils.checkpoint import load_inference_params
+
+    with open(args.data) as f:
+        data = yaml.safe_load(f)
+    nc = 1 if args.single_cls else int(data["nc"])
+    two_stream = "val_ir" in data
+    dtype = jnp.float32 if args.fp32 else jnp.bfloat16
+    cfg = args.cfg if args.cfg.endswith((".yaml", ".yml")) else \
+        get_config(args.cfg, nc=nc)
+    model = build_model(cfg, nc=nc, dtype=dtype)
+    params, stats = load_inference_params(args.weights)
+    return model, params, stats, data, nc, two_stream
+
+
+def run(args) -> dict:
+    from ..data.datasets import BatchLoader, PairedDetectionDataset
+    from ..train.evaluator import evaluate
+    from ..train.trainer import make_eval_forward
+    from ..utils.general import check_img_size, set_logging
+
+    set_logging()
+    img_size = check_img_size(args.img_size, 32)
+    model, params, stats, data, nc, two_stream = _build(args, img_size)
+
+    split = "test" if args.task == "test" and "test_rgb" in data else "val"
+    ds = PairedDetectionDataset.from_sources(
+        data[f"{split}_rgb"] if two_stream else data[split],
+        data.get(f"{split}_ir"), img_size=img_size, augment=False,
+        nc=None if args.single_cls else nc)
+    if args.single_cls:
+        for l in ds.labels:
+            if len(l):
+                l[:, 0] = 0
+    loader = BatchLoader(ds, args.batch_size, shuffle=False,
+                         max_labels=args.max_labels, drop_last=False)
+    fwd = make_eval_forward(model, two_stream=two_stream)
+
+    if args.task == "speed":
+        return speed_task(fwd, params, stats, loader, args)
+
+    res = evaluate(fwd, params, stats, loader, nc=nc,
+                   conf_thres=args.conf_thres, iou_thres=args.iou_thres,
+                   single_cls=args.single_cls)
+    names = data.get("names", [str(i) for i in range(nc)])
+    logger.info(f"{'class':>12} {'P':>8} {'R':>8} {'mAP50':>8} "
+                f"{'mAP75':>8} {'mAP':>8}")
+    logger.info(f"{'all':>12} {res['mp']:8.3f} {res['mr']:8.3f} "
+                f"{res['map50']:8.3f} {res['map75']:8.3f} {res['map']:8.3f}")
+    if args.verbose:
+        for c, d in res.get("per_class", {}).items():
+            nm = names[c] if c < len(names) else str(c)
+            logger.info(f"{nm:>12} {d['p']:8.3f} {d['r']:8.3f} "
+                        f"{d['ap50']:8.3f} {d['ap75']:8.3f} {d['ap']:8.3f}")
+    logger.info(f"speed: {res['t_infer_ms']:.2f} ms infer, "
+                f"{res['t_nms_ms']:.2f} ms NMS per image")
+    if args.save_json:
+        Path(args.save_json).write_text(json.dumps(
+            {k: v for k, v in res.items()
+             if isinstance(v, (int, float, dict))}, indent=1, default=float))
+    return res
+
+
+def speed_task(fwd, params, stats, loader, args) -> dict:
+    """--task speed (test.py:354-358): latency at conf 0.25 / iou 0.45."""
+    batch = next(iter(loader))
+    rgb, ir = batch["rgb"], batch.get("ir", batch["rgb"])
+    for _ in range(3):
+        out, _ = fwd(params, stats, rgb, ir)
+        np.asarray(out)
+    t0 = time.perf_counter()
+    n = 20
+    for _ in range(n):
+        out, _ = fwd(params, stats, rgb, ir)
+    np.asarray(out)
+    dt = (time.perf_counter() - t0) / n / rgb.shape[0] * 1000
+    logger.info(f"forward+decode: {dt:.2f} ms/image @ bs{rgb.shape[0]}")
+    return {"ms_per_image": dt}
+
+
+def main(argv=None):
+    return run(parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()

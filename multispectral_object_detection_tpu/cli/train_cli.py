@@ -1,0 +1,293 @@
+"""Training driver — the `train_rgb_ir` of the reference (train.py:472-911).
+
+Single program, any number of chips: the global batch is sharded over the
+mesh's 'data' axis (replacing DP/DDP/SyncBN, SURVEY.md §2.8); the train step
+is one jitted function (forward bf16, loss, grads, SGD+EMA). Per-epoch eval
+uses the EMA weights and the reference protocol; `last`/`best` checkpoints
+are pure pytrees.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import time
+from pathlib import Path
+
+import numpy as np
+import yaml
+
+logger = logging.getLogger(__name__)
+
+
+def parse_args(argv=None):
+    ap = argparse.ArgumentParser("train")
+    ap.add_argument("--cfg", type=str, default="yolov5l_fusion_transformerx3",
+                    help="model name (configs.get_config) or model YAML path")
+    ap.add_argument("--data", type=str, required=True,
+                    help="dataset YAML: {train_rgb, train_ir, val_rgb, val_ir,"
+                         " nc, names} or single-stream {train, val, nc, names}")
+    ap.add_argument("--hyp", type=str, default="scratch")
+    ap.add_argument("--epochs", type=int, default=300)
+    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--img-size", type=int, default=640)
+    ap.add_argument("--weights", type=str, default="",
+                    help="checkpoint dir to warm-start from")
+    ap.add_argument("--resume", type=str, default="",
+                    help="checkpoint dir to resume (restores optimizer/epoch)")
+    ap.add_argument("--project", type=str, default="runs/train")
+    ap.add_argument("--name", type=str, default="exp")
+    ap.add_argument("--exist-ok", action="store_true")
+    ap.add_argument("--adam", action="store_true")
+    ap.add_argument("--linear-lr", action="store_true")
+    ap.add_argument("--label-smoothing", type=float, default=0.0)
+    ap.add_argument("--single-cls", action="store_true")
+    ap.add_argument("--noval", action="store_true")
+    ap.add_argument("--nosave", action="store_true")
+    ap.add_argument("--max-labels", type=int, default=120)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--eval-every", type=int, default=1)
+    ap.add_argument("--save-period", type=int, default=-1)
+    ap.add_argument("--fp32", action="store_true", help="disable bf16 compute")
+    ap.add_argument("--n-model", type=int, default=1,
+                    help="tensor-parallel axis size for the CFT blocks")
+    return ap.parse_args(argv)
+
+
+def load_data_cfg(path: str) -> dict:
+    with open(path) as f:
+        d = yaml.safe_load(f)
+    return d
+
+
+def run(args) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from ..data.datasets import BatchLoader, PairedDetectionDataset
+    from ..data.hyps import load_hyp
+    from ..models import build_model
+    from ..models.configs import get_config
+    from ..models.detect import anchor_arrays
+    from ..parallel.mesh import (batch_sharding, make_mesh,
+                                 make_parallel_train_step, param_shardings,
+                                 shard_state)
+    from ..train.evaluator import evaluate
+    from ..train.loss import DetectionLoss, LossHyp
+    from ..train.optim import OptHyp, build_optimizer
+    from ..train.trainer import create_train_state, make_eval_forward
+    from ..utils.checkpoint import (load_checkpoint, save_checkpoint,
+                                    strip_checkpoint)
+    from ..utils.general import (check_img_size, increment_path, init_seeds,
+                                 set_logging)
+    from ..utils.metrics import fitness
+
+    set_logging()
+    init_seeds(args.seed)
+    save_dir = increment_path(Path(args.project) / args.name,
+                              exist_ok=args.exist_ok)
+    save_dir.mkdir(parents=True, exist_ok=True)
+    logger.info(f"run dir: {save_dir}")
+
+    data = load_data_cfg(args.data)
+    nc = 1 if args.single_cls else int(data["nc"])
+    two_stream = "train_ir" in data
+    img_size = check_img_size(args.img_size, 32)
+    hyp = load_hyp(args.hyp)
+    hyp["label_smoothing"] = args.label_smoothing
+    (save_dir / "hyp.yaml").write_text(yaml.safe_dump(hyp))
+    (save_dir / "opt.yaml").write_text(yaml.safe_dump(vars(args)))
+
+    # ---- model -------------------------------------------------------------
+    dtype = jnp.float32 if args.fp32 else jnp.bfloat16
+    cfg = args.cfg if args.cfg.endswith((".yaml", ".yml")) else \
+        get_config(args.cfg, nc=nc)
+    model = build_model(cfg, nc=nc, dtype=dtype)
+    spec = model.spec
+    assert spec.two_stream == two_stream, (
+        f"model two_stream={spec.two_stream} but dataset "
+        f"{'has' if two_stream else 'lacks'} an IR split")
+
+    # ---- data --------------------------------------------------------------
+    train_ds = PairedDetectionDataset.from_sources(
+        data["train_rgb"] if two_stream else data["train"],
+        data.get("train_ir"), img_size=img_size, augment=True, hyp=hyp,
+        nc=nc if not args.single_cls else None,
+        cache_dir=str(save_dir / "cache"))
+    if args.single_cls:
+        for l in train_ds.labels:
+            if len(l):
+                l[:, 0] = 0
+    loader = BatchLoader(train_ds, args.batch_size, shuffle=True,
+                         seed=args.seed, max_labels=args.max_labels)
+    steps_per_epoch = len(loader)
+    assert steps_per_epoch > 0, "dataset smaller than one batch"
+
+    val_loader = None
+    if not args.noval:
+        val_ds = PairedDetectionDataset.from_sources(
+            data["val_rgb"] if two_stream else data["val"],
+            data.get("val_ir"), img_size=img_size, augment=False,
+            nc=nc if not args.single_cls else None,
+            cache_dir=str(save_dir / "cache"))
+        if args.single_cls:
+            for l in val_ds.labels:
+                if len(l):
+                    l[:, 0] = 0
+        val_loader = BatchLoader(val_ds, args.batch_size, shuffle=False,
+                                 max_labels=args.max_labels, drop_last=False)
+
+    # ---- optimizer / state ---------------------------------------------------
+    accumulate = max(round(64 / args.batch_size), 1)  # train.py:543
+    ohyp = OptHyp(lr0=hyp["lr0"], lrf=hyp["lrf"], momentum=hyp["momentum"],
+                  weight_decay=hyp["weight_decay"],
+                  warmup_epochs=hyp["warmup_epochs"],
+                  warmup_momentum=hyp["warmup_momentum"],
+                  warmup_bias_lr=hyp["warmup_bias_lr"], adam=args.adam)
+    lhyp = LossHyp(box=hyp["box"], obj=hyp["obj"], cls=hyp["cls"],
+                   cls_pw=hyp["cls_pw"], obj_pw=hyp["obj_pw"],
+                   anchor_t=hyp["anchor_t"], fl_gamma=hyp["fl_gamma"],
+                   label_smoothing=hyp["label_smoothing"])
+    loss_fn = DetectionLoss(nc=nc, anchors_px=anchor_arrays(spec.anchors),
+                            strides=spec.strides, hyp=lhyp)
+
+    rng = jax.random.PRNGKey(args.seed)
+    sample = jnp.zeros((args.batch_size, img_size, img_size, 3), jnp.uint8)
+    shapes = jax.eval_shape(
+        model.init, rng, sample.astype(jnp.float32),
+        *([] if not two_stream else [sample.astype(jnp.float32)]))
+    tx, _ = build_optimizer(shapes["params"], ohyp, steps_per_epoch,
+                            args.epochs, accumulate, args.batch_size,
+                            linear_lr=args.linear_lr)
+
+    state = create_train_state(model, tx, rng, sample,
+                               sample if two_stream else None)
+    n_par = sum(x.size for x in jax.tree.leaves(state.params))
+    logger.info(f"model: {len(spec.nodes)} layers, {n_par:,} params, "
+                f"accumulate={accumulate}")
+
+    start_epoch, best_fitness = 0, 0.0
+    if args.resume:
+        state, meta = load_checkpoint(args.resume, state)
+        start_epoch = meta.get("epoch", -1) + 1
+        best_fitness = meta.get("best_fitness", 0.0)
+        logger.info(f"resumed from {args.resume} at epoch {start_epoch}")
+    elif args.weights:
+        from ..utils.checkpoint import load_checkpoint as _lc
+        raw, _ = _lc(args.weights)
+        from flax import serialization as _ser
+        try:
+            state = state.replace(
+                params=_ser.from_state_dict(state.params, raw["params"]),
+                batch_stats=_ser.from_state_dict(state.batch_stats,
+                                                 raw["batch_stats"]))
+            logger.info(f"warm-started weights from {args.weights}")
+        except Exception as e:  # shape-mismatched transfer: skip cleanly
+            logger.warning(f"warm-start failed ({e}); training from scratch")
+
+    # ---- mesh / sharding ------------------------------------------------------
+    import jax as _jax
+
+    avail = len(_jax.devices()) // args.n_model
+    n_data = max(d for d in range(1, avail + 1) if args.batch_size % d == 0)
+    if n_data < avail:
+        logger.warning(f"batch {args.batch_size} limits data axis to {n_data} "
+                       f"of {avail} available device groups")
+    mesh = make_mesh(n_data=n_data, n_model=args.n_model)
+    pshard = param_shardings(state.params, mesh,
+                             tensor_parallel=args.n_model > 1)
+    state = shard_state(state, pshard, mesh)
+    step = make_parallel_train_step(model, loss_fn, tx,
+                                    two_stream=two_stream, mesh=mesh,
+                                    tensor_parallel=args.n_model > 1)
+    data_shard = batch_sharding(mesh)
+    fwd = make_eval_forward(model, two_stream=two_stream)
+
+    # ---- observability --------------------------------------------------------
+    from ..utils.loggers import ExperimentLogger
+    from ..utils.plots import plot_batch, plot_labels, plot_results
+
+    xlog = ExperimentLogger(str(save_dir), enable_tb=not args.nosave,
+                            config=vars(args), run_name=args.name)
+    if not args.nosave:
+        try:
+            plot_labels(train_ds.labels, data.get("names", []), str(save_dir))
+        except Exception as e:
+            logger.warning(f"label plot failed: {e}")
+
+    results_file = save_dir / "results.txt"
+    key = jax.random.PRNGKey(args.seed + 1)
+    final = {}
+    plotted = 0
+    for epoch in range(start_epoch, args.epochs):
+        t0 = time.time()
+        agg = np.zeros(4)
+        nb = 0
+        for batch in loader:
+            if plotted < 3 and not args.nosave:
+                plot_batch(batch["rgb"], batch["targets"], batch["tmask"],
+                           str(save_dir / f"train_batch{plotted}.jpg"),
+                           data.get("names"))
+                plotted += 1
+            key, sk = jax.random.split(key)
+            rgb = jax.device_put(batch["rgb"], data_shard)
+            ir = jax.device_put(batch.get("ir", batch["rgb"]), data_shard)
+            state, m = step(state, rgb, ir, jnp.asarray(batch["targets"]),
+                            jnp.asarray(batch["tmask"]), sk)
+            agg += np.array([float(m["box"]), float(m["obj"]),
+                             float(m["cls"]), float(m["total"])])
+            nb += 1
+        agg /= max(nb, 1)
+        line = (f"epoch {epoch}/{args.epochs - 1} "
+                f"box {agg[0]:.4f} obj {agg[1]:.4f} cls {agg[2]:.4f} "
+                f"total {agg[3]:.4f} ({time.time() - t0:.1f}s)")
+
+        fi = 0.0
+        if val_loader is not None and (epoch % args.eval_every == 0
+                                       or epoch == args.epochs - 1):
+            res = evaluate(fwd, state.ema_params, state.ema_stats, val_loader,
+                           nc=nc, conf_thres=0.001, iou_thres=0.6,
+                           single_cls=args.single_cls)
+            fi = fitness(res["mp"], res["mr"], res["map50"], res["map"])
+            line += (f" | P {res['mp']:.3f} R {res['mr']:.3f} "
+                     f"mAP50 {res['map50']:.3f} mAP75 {res['map75']:.3f} "
+                     f"mAP {res['map']:.3f}")
+            final = res
+        logger.info(line)
+        with open(results_file, "a") as f:
+            f.write(line + "\n")
+        xlog.log_epoch(epoch, agg[:3], final if fi else {})
+
+        if not args.nosave:
+            save_checkpoint(save_dir / "last", state, epoch=epoch,
+                            best_fitness=max(best_fitness, fi))
+            if fi > best_fitness:
+                best_fitness = fi
+                save_checkpoint(save_dir / "best", state, epoch=epoch,
+                                best_fitness=best_fitness)
+            if args.save_period > 0 and epoch % args.save_period == 0:
+                save_checkpoint(save_dir / f"epoch{epoch}", state, epoch=epoch,
+                                best_fitness=best_fitness)
+
+    xlog.close()
+    if not args.nosave:
+        for tag in ("last", "best"):
+            if (save_dir / tag / "state.msgpack").exists():
+                strip_checkpoint(save_dir / tag)
+        try:
+            plot_results(str(results_file), str(save_dir / "results.png"))
+        except Exception as e:
+            logger.warning(f"results plot failed: {e}")
+    (save_dir / "final.json").write_text(json.dumps(
+        {k: v for k, v in final.items() if isinstance(v, (int, float))},
+        indent=1))
+    return final
+
+
+def main(argv=None):
+    return run(parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,64 @@
+"""Hyperparameter presets (reference data/hyp.scratch.yaml / hyp.finetune.yaml),
+plus the evolution metadata (key -> (mutation_scale, min, max); train.py:1017)."""
+
+from __future__ import annotations
+
+import copy
+from typing import Dict
+
+import yaml
+
+HYP_SCRATCH: Dict[str, float] = {
+    "lr0": 0.01, "lrf": 0.2, "momentum": 0.937, "weight_decay": 0.0005,
+    "warmup_epochs": 3.0, "warmup_momentum": 0.8, "warmup_bias_lr": 0.1,
+    "box": 0.05, "cls": 0.5, "cls_pw": 1.0, "obj": 1.0, "obj_pw": 1.0,
+    "iou_t": 0.20, "anchor_t": 4.0, "fl_gamma": 0.0,
+    "hsv_h": 0.015, "hsv_s": 0.7, "hsv_v": 0.4,
+    "degrees": 0.0, "translate": 0.1, "scale": 0.5, "shear": 0.0,
+    "perspective": 0.0, "flipud": 0.0, "fliplr": 0.5,
+    "mosaic": 1.0, "mixup": 0.0, "label_smoothing": 0.0,
+}
+
+HYP_FINETUNE: Dict[str, float] = {
+    **HYP_SCRATCH,
+    "lr0": 0.0032, "lrf": 0.12, "momentum": 0.843, "weight_decay": 0.00036,
+    "warmup_epochs": 2.0, "warmup_momentum": 0.5, "warmup_bias_lr": 0.05,
+    "box": 0.0296, "cls": 0.243, "cls_pw": 0.631, "obj": 0.301, "obj_pw": 0.911,
+    "anchor_t": 2.91, "fl_gamma": 0.0,
+    "hsv_h": 0.0138, "hsv_s": 0.664, "hsv_v": 0.464,
+    "degrees": 0.373, "translate": 0.245, "scale": 0.898, "shear": 0.602,
+    "perspective": 0.0, "flipud": 0.00856, "fliplr": 0.5,
+    "mosaic": 1.0, "mixup": 0.243,
+}
+
+# (mutation scale, lower bound, upper bound) per evolvable key (train.py:1017-1044)
+EVOLVE_META = {
+    "lr0": (1, 1e-5, 1e-1), "lrf": (1, 0.01, 1.0), "momentum": (0.3, 0.6, 0.98),
+    "weight_decay": (1, 0.0, 0.001), "warmup_epochs": (1, 0.0, 5.0),
+    "warmup_momentum": (1, 0.0, 0.95), "warmup_bias_lr": (1, 0.0, 0.2),
+    "box": (1, 0.02, 0.2), "cls": (1, 0.2, 4.0), "cls_pw": (1, 0.5, 2.0),
+    "obj": (1, 0.2, 4.0), "obj_pw": (1, 0.5, 2.0), "iou_t": (0, 0.1, 0.7),
+    "anchor_t": (1, 2.0, 8.0), "fl_gamma": (0, 0.0, 2.0),
+    "hsv_h": (1, 0.0, 0.1), "hsv_s": (1, 0.0, 0.9), "hsv_v": (1, 0.0, 0.9),
+    "degrees": (1, 0.0, 45.0), "translate": (1, 0.0, 0.9),
+    "scale": (1, 0.0, 0.9), "shear": (1, 0.0, 10.0),
+    "perspective": (0, 0.0, 0.001), "flipud": (1, 0.0, 1.0),
+    "fliplr": (0, 0.0, 1.0), "mosaic": (1, 0.0, 1.0), "mixup": (1, 0.0, 1.0),
+}
+
+
+def load_hyp(spec: str | dict | None) -> Dict[str, float]:
+    """'scratch' | 'finetune' | path to YAML | dict -> hyp dict."""
+    if spec is None or spec == "scratch":
+        return copy.deepcopy(HYP_SCRATCH)
+    if spec == "finetune":
+        return copy.deepcopy(HYP_FINETUNE)
+    if isinstance(spec, dict):
+        out = copy.deepcopy(HYP_SCRATCH)
+        out.update(spec)
+        return out
+    with open(spec) as f:
+        loaded = yaml.safe_load(f)
+    out = copy.deepcopy(HYP_SCRATCH)
+    out.update(loaded or {})
+    return out

@@ -33,7 +33,10 @@ def make_divisible(x: float, divisor: int = 8) -> int:
 class ConvBnAct(nn.Module):
     """Conv2d(bias=False) + BatchNorm + SiLU — the `Conv` of common.py:36.
 
-    NHWC; BN runs in fp32 regardless of compute dtype.
+    NHWC; BN runs in fp32 regardless of compute dtype. With `fused=True` the
+    module expects BN already folded into the conv kernel + bias (see
+    model.fuse_conv_bn_params — the inference-time BN folding of
+    yolo_test.py:296 / torch_utils.py:181) and skips normalization entirely.
     """
 
     c2: int
@@ -43,6 +46,7 @@ class ConvBnAct(nn.Module):
     g: int = 1
     act: bool = True
     dtype: Any = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -57,20 +61,21 @@ class ConvBnAct(nn.Module):
             strides=(self.s, self.s),
             padding=pad,
             feature_group_count=self.g,
-            use_bias=False,
+            use_bias=self.fused,
             dtype=self.dtype,
             param_dtype=jnp.float32,
             name="conv",
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.97,  # torch momentum 0.03
-            epsilon=1e-3,
-            dtype=jnp.float32,
-            param_dtype=jnp.float32,
-            name="bn",
-        )(x.astype(jnp.float32))
-        x = x.astype(self.dtype)
+        if not self.fused:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.97,  # torch momentum 0.03
+                epsilon=1e-3,
+                dtype=jnp.float32,
+                param_dtype=jnp.float32,
+                name="bn",
+            )(x.astype(jnp.float32))
+            x = x.astype(self.dtype)
         if self.act:
             x = nn.silu(x)
         return x
@@ -94,6 +99,7 @@ class Focus(nn.Module):
     g: int = 1
     act: bool = True
     dtype: Any = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -102,7 +108,8 @@ class Focus(nn.Module):
             axis=-1,
         )
         return ConvBnAct(self.c2, self.k, self.s, self.p, self.g, self.act,
-                         dtype=self.dtype, name="conv")(x, train=train)
+                         dtype=self.dtype, fused=self.fused,
+                         name="conv")(x, train=train)
 
 
 class Bottleneck(nn.Module):
@@ -114,12 +121,15 @@ class Bottleneck(nn.Module):
     g: int = 1
     e: float = 0.5
     dtype: Any = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = int(self.c2 * self.e)
-        y = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train=train)
-        y = ConvBnAct(self.c2, 3, 1, g=self.g, dtype=self.dtype, name="cv2")(y, train=train)
+        y = ConvBnAct(c_, 1, 1, dtype=self.dtype, fused=self.fused,
+                      name="cv1")(x, train=train)
+        y = ConvBnAct(self.c2, 3, 1, g=self.g, dtype=self.dtype,
+                      fused=self.fused, name="cv2")(y, train=train)
         if self.shortcut and self.c1 == self.c2:
             y = x + y
         return y
@@ -135,17 +145,22 @@ class C3(nn.Module):
     g: int = 1
     e: float = 0.5
     dtype: Any = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = int(self.c2 * self.e)
-        y1 = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train=train)
+        y1 = ConvBnAct(c_, 1, 1, dtype=self.dtype, fused=self.fused,
+                       name="cv1")(x, train=train)
         for i in range(self.n):
             y1 = Bottleneck(c_, c_, self.shortcut, self.g, e=1.0,
-                            dtype=self.dtype, name=f"m{i}")(y1, train=train)
-        y2 = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train=train)
+                            dtype=self.dtype, fused=self.fused,
+                            name=f"m{i}")(y1, train=train)
+        y2 = ConvBnAct(c_, 1, 1, dtype=self.dtype, fused=self.fused,
+                       name="cv2")(x, train=train)
         y = jnp.concatenate([y1, y2], axis=-1)
-        return ConvBnAct(self.c2, 1, 1, dtype=self.dtype, name="cv3")(y, train=train)
+        return ConvBnAct(self.c2, 1, 1, dtype=self.dtype, fused=self.fused,
+                          name="cv3")(y, train=train)
 
 
 class BottleneckCSP(nn.Module):
@@ -158,6 +173,7 @@ class BottleneckCSP(nn.Module):
     g: int = 1
     e: float = 0.5
     dtype: Any = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -187,11 +203,13 @@ class SPP(nn.Module):
     c2: int
     k: Sequence[int] = (5, 9, 13)
     dtype: Any = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = self.c1 // 2
-        x = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train=train)
+        x = ConvBnAct(c_, 1, 1, dtype=self.dtype, fused=self.fused,
+                      name="cv1")(x, train=train)
         pools = [x]
         for k in self.k:
             pools.append(
@@ -199,7 +217,8 @@ class SPP(nn.Module):
                             padding=[(k // 2, k // 2), (k // 2, k // 2)])
             )
         y = jnp.concatenate(pools, axis=-1)
-        return ConvBnAct(self.c2, 1, 1, dtype=self.dtype, name="cv2")(y, train=train)
+        return ConvBnAct(self.c2, 1, 1, dtype=self.dtype, fused=self.fused,
+                          name="cv2")(y, train=train)
 
 
 class Contract(nn.Module):
@@ -282,6 +301,7 @@ class GhostConv(nn.Module):
     g: int = 1
     act: bool = True
     dtype: Any = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -301,6 +321,7 @@ class GhostBottleneck(nn.Module):
     k: int = 3
     s: int = 1
     dtype: Any = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -328,6 +349,7 @@ class CrossConv(nn.Module):
     e: float = 1.0
     shortcut: bool = False
     dtype: Any = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):

@@ -23,31 +23,34 @@ from .fusion import CrossModalFusion
 from .parser import ModelSpec, Node, parse_model_config
 
 
-def _build_module(node: Node, dtype) -> nn.Module:
+def _build_module(node: Node, dtype, fused: bool = False) -> nn.Module:
     k, a = node.kind, node.args
     if k == "Conv":
         return L.ConvBnAct(c2=a[1], k=a[2] if len(a) > 2 else 1,
                            s=a[3] if len(a) > 3 else 1,
                            p=a[4] if len(a) > 4 else None,
-                           g=a[5] if len(a) > 5 else 1, dtype=dtype)
+                           g=a[5] if len(a) > 5 else 1, dtype=dtype,
+                           fused=fused)
     if k == "DWConv":
         return L.dwconv(a[0], a[1], a[2] if len(a) > 2 else 1,
                         a[3] if len(a) > 3 else 1, dtype=dtype)
     if k == "Focus":
         return L.Focus(c2=a[1], k=a[2] if len(a) > 2 else 1,
-                       s=a[3] if len(a) > 3 else 1, dtype=dtype)
+                       s=a[3] if len(a) > 3 else 1, dtype=dtype, fused=fused)
     if k == "Bottleneck":
         return L.Bottleneck(a[0], a[1],
-                            shortcut=a[2] if len(a) > 2 else True, dtype=dtype)
+                            shortcut=a[2] if len(a) > 2 else True, dtype=dtype,
+                            fused=fused)
     if k == "BottleneckCSP":
         return L.BottleneckCSP(a[0], a[1], n=a[2],
                                shortcut=a[3] if len(a) > 3 else True, dtype=dtype)
     if k == "C3":
         return L.C3(a[0], a[1], n=a[2],
-                    shortcut=a[3] if len(a) > 3 else True, dtype=dtype)
+                    shortcut=a[3] if len(a) > 3 else True, dtype=dtype,
+                    fused=fused)
     if k == "SPP":
         return L.SPP(a[0], a[1], k=tuple(a[2]) if len(a) > 2 else (5, 9, 13),
-                     dtype=dtype)
+                     dtype=dtype, fused=fused)
     if k == "GhostConv":
         return L.GhostConv(c2=a[1], k=a[2] if len(a) > 2 else 1,
                            s=a[3] if len(a) > 3 else 1, dtype=dtype)
@@ -86,6 +89,7 @@ class DetectionModel(nn.Module):
 
     spec: ModelSpec
     dtype: Any = jnp.float32
+    fused: bool = False  # BN folded into conv weights (inference only)
 
     def setup(self):
         mods = []
@@ -94,10 +98,10 @@ class DetectionModel(nn.Module):
                 mods.append(Detect(nc=node.args[0], anchors=self.spec.anchors,
                                    strides=self.spec.strides, dtype=self.dtype))
             elif node.repeats > 1:
-                mods.append([_build_module(node, self.dtype)
+                mods.append([_build_module(node, self.dtype, self.fused)
                              for _ in range(node.repeats)])
             else:
-                mods.append(_build_module(node, self.dtype))
+                mods.append(_build_module(node, self.dtype, self.fused))
         self.blocks = mods
 
     def __call__(self, x, x2=None, train: bool = False):
@@ -132,8 +136,44 @@ class DetectionModel(nn.Module):
 
 
 def build_model(cfg, ch_in: int = 3, nc: Optional[int] = None, anchors=None,
-                dtype=jnp.float32) -> DetectionModel:
+                dtype=jnp.float32, fused: bool = False) -> DetectionModel:
     """YAML path/dict -> DetectionModel (the `Model(cfg)` of yolo_test.py:165)."""
     spec = cfg if isinstance(cfg, ModelSpec) else parse_model_config(
         cfg, ch_in=ch_in, nc=nc, anchors=anchors)
-    return DetectionModel(spec=spec, dtype=dtype)
+    return DetectionModel(spec=spec, dtype=dtype, fused=fused)
+
+
+def fuse_conv_bn_params(params, batch_stats, eps: float = 1e-3):
+    """Fold BatchNorm into conv kernels + biases for inference.
+
+    The functional equivalent of the reference `Model.fuse()`
+    (yolo_test.py:296-304, torch_utils.py:181-201): every {conv, bn} pair
+    becomes a conv with
+        kernel' = kernel * gamma / sqrt(var + eps)   (per output channel)
+        bias'   = beta - mean * gamma / sqrt(var + eps)
+    Returns params for a `DetectionModel(fused=True)` twin; batch_stats are
+    consumed. Subtrees without a conv/bn pair pass through unchanged (their
+    BN, if any, stays live — only ConvBnAct-style pairs are folded).
+    """
+    import numpy as _np
+
+    def walk(p, s):
+        if not isinstance(p, dict):
+            return p
+        if "conv" in p and "bn" in p and s is not None and "bn" in s:
+            kernel = p["conv"]["kernel"]
+            gamma = p["bn"]["scale"]
+            beta = p["bn"]["bias"]
+            mean = s["bn"]["mean"]
+            var = s["bn"]["var"]
+            g = gamma / jnp.sqrt(var + eps)
+            new = {"conv": {"kernel": kernel * g, "bias": beta - mean * g}}
+            # recurse into any sibling submodules (e.g. Focus holds only conv)
+            for k, v in p.items():
+                if k not in ("conv", "bn"):
+                    new[k] = walk(v, s.get(k) if isinstance(s, dict) else None)
+            return new
+        return {k: walk(v, s.get(k) if isinstance(s, dict) else None)
+                for k, v in p.items()}
+
+    return walk(params, batch_stats if isinstance(batch_stats, dict) else {})

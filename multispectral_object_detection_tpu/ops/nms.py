@@ -38,11 +38,20 @@ class Detections(NamedTuple):
 
 
 def _suppress(boxes, scores, iou_thres: float, max_det: int):
-    """Greedy NMS over (K, 4)/(K,) -> indices (max_det,), validity (max_det,)."""
-    K = scores.shape[0]
+    """Greedy NMS over (K, 4)/(K,) -> indices (max_det,), validity (max_det,).
 
-    def body(_, carry):
-        work, idxs, vals, n = carry
+    A while_loop with early exit: real scenes rarely fill max_det, so the
+    sequential argmax-and-suppress chain stops as soon as no candidate
+    remains (under vmap the loop runs until every image in the batch is
+    done — still far fewer than max_det iterations in practice).
+    """
+
+    def cond(carry):
+        work, idxs, vals, n, it = carry
+        return jnp.logical_and(it < max_det, jnp.max(work) > _NEG / 2)
+
+    def body(carry):
+        work, idxs, vals, n, it = carry
         i = jnp.argmax(work)  # first max wins ties, like a stable sort
         v = work[i]
         keep = v > _NEG / 2
@@ -51,12 +60,12 @@ def _suppress(boxes, scores, iou_thres: float, max_det: int):
         work = work.at[i].set(_NEG)
         idxs = idxs.at[n].set(jnp.where(keep, i, 0))
         vals = vals.at[n].set(keep)
-        return work, idxs, vals, n + jnp.int32(keep)
+        return work, idxs, vals, n + jnp.int32(keep), it + 1
 
     idxs0 = jnp.zeros((max_det,), dtype=jnp.int32)
     vals0 = jnp.zeros((max_det,), dtype=bool)
-    _, idxs, vals, _ = jax.lax.fori_loop(
-        0, max_det, body, (scores, idxs0, vals0, jnp.int32(0)))
+    _, idxs, vals, _, _ = jax.lax.while_loop(
+        cond, body, (scores, idxs0, vals0, jnp.int32(0), jnp.int32(0)))
     return idxs, vals
 
 

@@ -1,0 +1,146 @@
+"""Device-mesh parallelism: data parallelism + tensor parallelism for CFT.
+
+The reference's distribution story is NCCL DDP with explicit process groups,
+gradient all-reduce, DistributedSampler and rank guards (train.py:613-658,
+989-995; SURVEY.md §2.8). The TPU-native equivalent here is ONE jitted
+program over a `jax.sharding.Mesh`:
+
+- axis 'data': the global batch is sharded; gradient reductions are inserted
+  by XLA (no DDP wrapper, no loss*world_size quirk — the global-batch mean is
+  exact). BatchNorm statistics are computed over the GLOBAL batch because
+  `jnp.mean` over a sharded axis compiles to a cross-replica reduction —
+  i.e. SyncBatchNorm semantics by construction (reference needed an explicit
+  `convert_sync_batchnorm`, train.py:617-620).
+- axis 'model': Megatron-style tensor parallelism of the CFT fusion
+  transformer: q/k/v and MLP-in kernels column-sharded, proj and MLP-out
+  row-sharded; XLA inserts the single all-reduce per block. The CNN trunk is
+  replicated (convs at these sizes don't benefit from TP).
+
+Pipeline/sequence/expert parallelism are intentionally absent: the flagship
+model is a ~200M-param CNN whose attention runs on 128 tokens (SURVEY.md §5
+long-context note) — DP x TP covers every useful scale-out configuration.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if n_data is None:
+        n_data = n // n_model
+    assert n_data * n_model <= n, (n_data, n_model, n)
+    dev = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(dev, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis (batch) sharding over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def _fusion_spec(path_keys, leaf) -> P:
+    """Tensor-parallel PartitionSpec for CFT fusion params, replicated
+    otherwise."""
+    keys = [str(getattr(k, "key", getattr(k, "name", k))) for k in path_keys]
+    joined = "/".join(keys)
+    if "block" in joined and leaf.ndim == 2:
+        name = keys[-2] if len(keys) >= 2 else ""
+        if name in ("q", "k", "v", "fc1"):
+            return P(None, "model")   # column parallel
+        if name in ("proj", "fc2"):
+            return P("model", None)   # row parallel
+    if "block" in joined and leaf.ndim == 1:
+        name = keys[-2] if len(keys) >= 2 else ""
+        if name in ("q", "k", "v", "fc1"):
+            return P("model")
+    return P()
+
+
+def param_shardings(params, mesh: Mesh, tensor_parallel: bool = True):
+    """Pytree of NamedShardings: TP on fusion blocks, replicated elsewhere."""
+
+    def spec(path, leaf):
+        if tensor_parallel and mesh.shape.get("model", 1) > 1:
+            return NamedSharding(mesh, _fusion_spec(path, leaf))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def replicated(tree, mesh: Mesh):
+    return jax.tree.map(lambda _: NamedSharding(mesh, P()), tree)
+
+
+def make_parallel_train_step(model, loss_fn, tx, two_stream: bool, mesh: Mesh,
+                             ema_decay: float = 0.9999,
+                             tensor_parallel: bool = True, donate: bool = True):
+    """Like trainer.make_train_step but jitted over a mesh.
+
+    State shardings: params/opt/ema follow `param_shardings`; batch arrays
+    are sharded over 'data'. Targets are replicated (they carry global image
+    indices; the loss gathers from the sharded feature maps, which XLA
+    partitions correctly).
+    """
+    from ..train.optim import ema_update
+
+    data_s = batch_sharding(mesh)
+    repl = NamedSharding(mesh, P())
+
+    def loss_and_aux(params, batch_stats, rgb, ir, targets, tmask, rng):
+        x = rgb.astype(jnp.float32) / 255.0
+        inputs = (x,) if not two_stream else (x, ir.astype(jnp.float32) / 255.0)
+        out, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            *inputs, train=True, mutable=["batch_stats"],
+            rngs={"dropout": rng},
+        )
+        total, comps = loss_fn(out, targets, tmask)
+        return total, (mutated["batch_stats"], comps)
+
+    def step_fn(state, rgb, ir, targets, tmask, rng):
+        (total, (new_stats, comps)), grads = jax.value_and_grad(
+            loss_and_aux, has_aux=True)(
+                state.params, state.batch_stats, rgb, ir, targets, tmask, rng)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        n_upd = state.ema_updates + 1
+        new_state = state.replace(
+            params=new_params, batch_stats=new_stats, opt_state=new_opt,
+            ema_params=ema_update(state.ema_params, new_params, n_upd, ema_decay),
+            ema_stats=ema_update(state.ema_stats, new_stats, n_upd, ema_decay),
+            step=state.step + 1, ema_updates=n_upd)
+        return new_state, comps
+
+    return jax.jit(
+        step_fn,
+        in_shardings=(None, data_s, data_s, repl, repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def shard_state(state, model_params_shardings, mesh: Mesh):
+    """Place a TrainState on the mesh: params per sharding rules, everything
+    tree-structured alike; scalars replicated."""
+    repl = NamedSharding(mesh, P())
+
+    def place(x, s):
+        return jax.device_put(x, s)
+
+    return state.replace(
+        params=jax.tree.map(place, state.params, model_params_shardings),
+        ema_params=jax.tree.map(place, state.ema_params, model_params_shardings),
+        batch_stats=jax.tree.map(lambda x: place(x, repl), state.batch_stats),
+        ema_stats=jax.tree.map(lambda x: place(x, repl), state.ema_stats),
+        opt_state=jax.tree.map(lambda x: place(x, repl), state.opt_state),
+        step=place(state.step, repl),
+        ema_updates=place(state.ema_updates, repl),
+    )

@@ -41,8 +41,10 @@ def create_train_state(model, tx, rng, sample_rgb, sample_ir=None) -> TrainState
         params=params,
         batch_stats=batch_stats,
         opt_state=tx.init(params),
-        ema_params=jax.tree.map(lambda x: x, params),
-        ema_stats=jax.tree.map(lambda x: x, batch_stats),
+        # EMA must own DISTINCT buffers: aliasing params would double-donate
+        # under jit(donate_argnums=0)
+        ema_params=jax.tree.map(jnp.copy, params),
+        ema_stats=jax.tree.map(jnp.copy, batch_stats),
         step=jnp.zeros((), jnp.int32),
         ema_updates=jnp.zeros((), jnp.int32),
     )

@@ -1,0 +1,89 @@
+"""Checkpoint save/load: pure pytree state, no pickled code.
+
+The reference checkpoints pickle the entire nn.Module (train.py:850-866) —
+fragile across code versions. Here a checkpoint is a directory with:
+    state.msgpack   flax-serialized pytree {params, batch_stats, opt_state,
+                    ema_params, ema_stats, step, ema_updates}
+    meta.json       {epoch, best_fitness, spec_hash, results}
+`strip` finalizes for inference: EMA weights only (general.py:546
+strip_optimizer equivalent).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def save_checkpoint(path: str, state, *, epoch: int, best_fitness: float,
+                    meta: Optional[Dict[str, Any]] = None):
+    p = Path(path)
+    p.mkdir(parents=True, exist_ok=True)
+    host_state = jax.tree.map(lambda x: np.asarray(x), _state_dict(state))
+    (p / "state.msgpack").write_bytes(serialization.msgpack_serialize(host_state))
+    info = {"epoch": int(epoch), "best_fitness": float(best_fitness)}
+    info.update(meta or {})
+    (p / "meta.json").write_text(json.dumps(info, indent=1))
+
+
+def _state_dict(state) -> Dict[str, Any]:
+    return {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": serialization.to_state_dict(state.opt_state),
+        "ema_params": state.ema_params,
+        "ema_stats": state.ema_stats,
+        "step": state.step,
+        "ema_updates": state.ema_updates,
+    }
+
+
+def load_checkpoint(path: str, state=None):
+    """Returns (raw_dict, meta). If `state` is given, restores into it
+    (including opt_state structure) and returns (state, meta)."""
+    p = Path(path)
+    raw = serialization.msgpack_restore((p / "state.msgpack").read_bytes())
+    meta = json.loads((p / "meta.json").read_text()) if (p / "meta.json").exists() else {}
+    if state is None:
+        return raw, meta
+    new = state.replace(
+        params=serialization.from_state_dict(state.params, raw["params"]),
+        batch_stats=serialization.from_state_dict(state.batch_stats,
+                                                  raw["batch_stats"]),
+        opt_state=serialization.from_state_dict(state.opt_state,
+                                                raw["opt_state"]),
+        ema_params=serialization.from_state_dict(state.ema_params,
+                                                 raw["ema_params"]),
+        ema_stats=serialization.from_state_dict(state.ema_stats,
+                                                raw["ema_stats"]),
+        step=raw["step"], ema_updates=raw["ema_updates"])
+    return new, meta
+
+
+def strip_checkpoint(path: str, out_path: Optional[str] = None):
+    """Finalize for inference: keep EMA params + stats only (halves size)."""
+    p = Path(path)
+    raw = serialization.msgpack_restore((p / "state.msgpack").read_bytes())
+    meta = json.loads((p / "meta.json").read_text()) if (p / "meta.json").exists() else {}
+    out = Path(out_path or path)
+    out.mkdir(parents=True, exist_ok=True)
+    slim = {"params": raw["ema_params"], "batch_stats": raw["ema_stats"]}
+    (out / "model.msgpack").write_bytes(serialization.msgpack_serialize(slim))
+    meta["stripped"] = True
+    (out / "meta.json").write_text(json.dumps(meta, indent=1))
+
+
+def load_inference_params(path: str):
+    """Load a stripped (or full) checkpoint for inference: (params, stats)."""
+    p = Path(path)
+    if (p / "model.msgpack").exists():
+        raw = serialization.msgpack_restore((p / "model.msgpack").read_bytes())
+        return raw["params"], raw["batch_stats"]
+    raw = serialization.msgpack_restore((p / "state.msgpack").read_bytes())
+    return raw["ema_params"], raw["ema_stats"]

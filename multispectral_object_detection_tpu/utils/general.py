@@ -1,0 +1,95 @@
+"""Run management and misc utilities (reference utils/general.py surface)."""
+
+from __future__ import annotations
+
+import glob
+import logging
+import os
+import random
+import re
+from pathlib import Path
+
+import numpy as np
+
+
+def set_logging(rank: int = 0, verbose: bool = True):
+    logging.basicConfig(
+        format="%(message)s",
+        level=logging.INFO if (verbose and rank in (-1, 0)) else logging.WARNING)
+
+
+def init_seeds(seed: int = 0):
+    """Seed python/numpy; JAX keys are threaded explicitly (general.py:41)."""
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def get_latest_run(search_dir: str = ".") -> str:
+    """Most recent last.ckpt for --resume (general.py:48)."""
+    paths = glob.glob(f"{search_dir}/**/last.ckpt*", recursive=True) + \
+        glob.glob(f"{search_dir}/**/last", recursive=True)
+    return max(paths, key=os.path.getctime) if paths else ""
+
+def check_img_size(img_size: int, stride: int = 32) -> int:
+    """Round image size up to a stride multiple (general.py:130)."""
+    new = int(np.ceil(img_size / stride) * stride)
+    if new != img_size:
+        logging.warning(
+            f"--img-size {img_size} must be a multiple of {stride}; using {new}")
+    return new
+
+
+def increment_path(path, exist_ok: bool = False, sep: str = "") -> Path:
+    """runs/train/exp -> exp{2,3,...} (general.py:641)."""
+    path = Path(path)
+    if path.exists() and exist_ok:
+        return path
+    if not path.exists():
+        return path
+    dirs = glob.glob(f"{path}{sep}*")
+    matches = [re.search(rf"%s{sep}(\d+)" % re.escape(path.stem), d) for d in dirs]
+    idx = [int(m.groups()[0]) for m in matches if m]
+    n = max(idx) + 1 if idx else 2
+    return Path(f"{path}{sep}{n}")
+
+
+def colorstr(*inputs):
+    """ANSI-colored string (general.py:225)."""
+    *args, string = inputs if len(inputs) > 1 else ("blue", "bold", inputs[0])
+    colors = {
+        "black": "\033[30m", "red": "\033[31m", "green": "\033[32m",
+        "yellow": "\033[33m", "blue": "\033[34m", "magenta": "\033[35m",
+        "cyan": "\033[36m", "white": "\033[37m", "bright_red": "\033[91m",
+        "bright_green": "\033[92m", "bright_yellow": "\033[93m",
+        "end": "\033[0m", "bold": "\033[1m", "underline": "\033[4m",
+    }
+    return "".join(colors[x] for x in args) + f"{string}" + colors["end"]
+
+
+def labels_to_class_weights(labels, nc: int) -> np.ndarray:
+    """Inverse-frequency class weights (general.py:250)."""
+    if not len(labels):
+        return np.ones(nc)
+    cls = np.concatenate([l[:, 0] for l in labels if len(l)], 0).astype(int) \
+        if any(len(l) for l in labels) else np.zeros(0, int)
+    weights = np.bincount(cls, minlength=nc).astype(float)
+    weights[weights == 0] = 1.0
+    weights = 1.0 / weights
+    return weights / weights.sum()
+
+
+def labels_to_image_weights(labels, nc: int, class_weights=None) -> np.ndarray:
+    """Per-image sampling weights from class weights (general.py:269)."""
+    cw = class_weights if class_weights is not None else np.ones(nc)
+    counts = np.array([np.bincount(l[:, 0].astype(int), minlength=nc)
+                       if len(l) else np.zeros(nc) for l in labels])
+    return (counts * cw.reshape(1, nc)).sum(1)
+
+
+def coco80_to_coco91_class():
+    """80-index -> 91-index COCO category map (general.py:277)."""
+    return [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 14, 15, 16, 17, 18, 19, 20,
+            21, 22, 23, 24, 25, 27, 28, 31, 32, 33, 34, 35, 36, 37, 38, 39, 40,
+            41, 42, 43, 44, 46, 47, 48, 49, 50, 51, 52, 53, 54, 55, 56, 57, 58,
+            59, 60, 61, 62, 63, 64, 65, 67, 70, 72, 73, 74, 75, 76, 77, 78, 79,
+            80, 81, 82, 84, 85, 86, 87, 88, 89, 90]

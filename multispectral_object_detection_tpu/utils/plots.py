@@ -1,0 +1,132 @@
+"""Plotting suite (reference utils/plots.py surface): label statistics,
+annotated batch mosaics, PR/F1 curves, confusion matrix, results curves."""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional, Sequence
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+import numpy as np
+
+COLORS = plt.rcParams["axes.prop_cycle"].by_key()["color"]
+
+
+def plot_labels(labels: Sequence[np.ndarray], names: Sequence[str],
+                save_dir: str):
+    """Class histogram + box-geometry scatter (plots.py:285-331)."""
+    all_l = np.concatenate([l for l in labels if len(l)], 0) if any(
+        len(l) for l in labels) else np.zeros((0, 5))
+    fig, axs = plt.subplots(1, 3, figsize=(15, 4))
+    nc = max(int(all_l[:, 0].max()) + 1, 1) if len(all_l) else 1
+    axs[0].hist(all_l[:, 0], bins=np.arange(nc + 1) - 0.5, rwidth=0.8)
+    axs[0].set_xlabel("class")
+    axs[1].scatter(all_l[:, 1], all_l[:, 2], s=3, alpha=0.4)
+    axs[1].set_xlabel("cx")
+    axs[1].set_ylabel("cy")
+    axs[2].scatter(all_l[:, 3], all_l[:, 4], s=3, alpha=0.4)
+    axs[2].set_xlabel("w")
+    axs[2].set_ylabel("h")
+    fig.tight_layout()
+    fig.savefig(Path(save_dir) / "labels.png", dpi=120)
+    plt.close(fig)
+
+
+def plot_batch(images: np.ndarray, targets: np.ndarray, tmask: np.ndarray,
+               path: str, names: Optional[Sequence[str]] = None,
+               max_images: int = 8):
+    """Annotated batch mosaic (plots.py:128-204). images (B,S,S,3) uint8;
+    targets flat (T, 6) normalized."""
+    b = min(images.shape[0], max_images)
+    cols = int(np.ceil(np.sqrt(b)))
+    rows = int(np.ceil(b / cols))
+    fig, axs = plt.subplots(rows, cols, figsize=(4 * cols, 4 * rows),
+                            squeeze=False)
+    s = images.shape[1]
+    for i in range(rows * cols):
+        ax = axs[i // cols][i % cols]
+        ax.axis("off")
+        if i >= b:
+            continue
+        ax.imshow(images[i])
+        sel = (targets[:, 0] == i) & (tmask > 0)
+        for t in targets[sel]:
+            c = int(t[1])
+            x, y, w, h = t[2] * s, t[3] * s, t[4] * s, t[5] * s
+            rect = plt.Rectangle((x - w / 2, y - h / 2), w, h, fill=False,
+                                 color=COLORS[c % len(COLORS)], lw=1.5)
+            ax.add_patch(rect)
+            if names:
+                ax.text(x - w / 2, y - h / 2 - 2, names[c], fontsize=7,
+                        color=COLORS[c % len(COLORS)])
+    fig.tight_layout()
+    fig.savefig(path, dpi=100)
+    plt.close(fig)
+
+
+def plot_pr_curve(px: np.ndarray, py: Sequence[np.ndarray], ap: np.ndarray,
+                  save_path: str, names: Sequence[str] = ()):
+    """PR curves at IoU 0.5 (metrics.py plot_pr_curve equivalent)."""
+    fig, ax = plt.subplots(figsize=(7, 6))
+    for i, y in enumerate(py):
+        label = (f"{names[i]} {ap[i, 0]:.3f}" if i < len(names)
+                 else f"{i} {ap[i, 0]:.3f}")
+        ax.plot(px, y, lw=1.5, label=label)
+    ax.set_xlabel("Recall")
+    ax.set_ylabel("Precision")
+    ax.set_xlim(0, 1)
+    ax.set_ylim(0, 1)
+    ax.legend(fontsize=8)
+    fig.savefig(save_path, dpi=150)
+    plt.close(fig)
+
+
+def plot_confusion_matrix(matrix: np.ndarray, names: Sequence[str],
+                          save_path: str):
+    n = matrix.shape[0]
+    norm = matrix / (matrix.sum(0, keepdims=True) + 1e-6)
+    fig, ax = plt.subplots(figsize=(8, 7))
+    im = ax.imshow(norm, cmap="Blues", vmin=0, vmax=1)
+    labels = list(names) + ["background"]
+    ax.set_xticks(range(n))
+    ax.set_yticks(range(n))
+    ax.set_xticklabels(labels[:n], rotation=90, fontsize=7)
+    ax.set_yticklabels(labels[:n], fontsize=7)
+    ax.set_xlabel("True")
+    ax.set_ylabel("Predicted")
+    for i in range(n):
+        for j in range(n):
+            if norm[i, j] > 0.005:
+                ax.text(j, i, f"{norm[i, j]:.2f}", ha="center", va="center",
+                        fontsize=6,
+                        color="white" if norm[i, j] > 0.5 else "black")
+    fig.colorbar(im)
+    fig.tight_layout()
+    fig.savefig(save_path, dpi=150)
+    plt.close(fig)
+
+
+def plot_results(results_file: str, save_path: str):
+    """Loss/metric curves from results.txt lines (plots.py:412-445)."""
+    import re
+
+    rows = []
+    for line in Path(results_file).read_text().splitlines():
+        nums = re.findall(r"(box|obj|cls|total|P|R|mAP50|mAP75|mAP)\s+"
+                          r"([0-9.]+)", line)
+        if nums:
+            rows.append(dict(nums))
+    if not rows:
+        return
+    keys = ["box", "obj", "cls", "total", "P", "R", "mAP50", "mAP"]
+    fig, axs = plt.subplots(2, 4, figsize=(16, 7))
+    for ax, k in zip(axs.flat, keys):
+        ys = [float(r[k]) for r in rows if k in r]
+        ax.plot(ys)
+        ax.set_title(k)
+    fig.tight_layout()
+    fig.savefig(save_path, dpi=120)
+    plt.close(fig)

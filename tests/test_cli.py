@@ -1,0 +1,85 @@
+"""CLI integration: train -> checkpoint -> test (eval) -> detect, on CPU."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+import yaml
+
+from multispectral_object_detection_tpu.data.synthetic import make_paired_dataset
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cliws")
+    rgb_dir, ir_dir = make_paired_dataset(str(root / "data"), n_images=8,
+                                          img_size=128, nc=2, seed=5)
+    data_yaml = root / "synth.yaml"
+    data_yaml.write_text(yaml.safe_dump({
+        "train_rgb": rgb_dir, "train_ir": ir_dir,
+        "val_rgb": rgb_dir, "val_ir": ir_dir,
+        "nc": 2, "names": ["red", "blue"],
+    }))
+    return root, str(data_yaml)
+
+
+def test_train_test_detect_cli(workspace):
+    root, data_yaml = workspace
+    from multispectral_object_detection_tpu.cli.train_cli import main as train_main
+
+    res = train_main([
+        "--cfg", "yolov5n_fusion_add", "--data", data_yaml,
+        "--epochs", "3", "--batch-size", "4", "--img-size", "128",
+        "--project", str(root / "runs"), "--name", "exp", "--fp32",
+        "--max-labels", "30", "--hyp", "scratch",
+    ])
+    run_dir = root / "runs" / "exp"
+    assert (run_dir / "last" / "state.msgpack").exists()
+    assert (run_dir / "last" / "model.msgpack").exists()  # stripped
+    assert (run_dir / "results.txt").exists()
+    assert np.isfinite(res["map50"])
+
+    from multispectral_object_detection_tpu.cli.test_cli import main as test_main
+
+    ev = test_main([
+        "--cfg", "yolov5n_fusion_add", "--data", data_yaml,
+        "--weights", str(run_dir / "last"), "--batch-size", "4",
+        "--img-size", "128", "--fp32",
+    ])
+    assert np.isfinite(ev["map50"])
+
+    from multispectral_object_detection_tpu.cli.detect_cli import main as det_main
+
+    rgb_dir = yaml.safe_load(Path(data_yaml).read_text())["val_rgb"]
+    ir_dir = yaml.safe_load(Path(data_yaml).read_text())["val_ir"]
+    out = det_main([
+        "--cfg", "yolov5n_fusion_add", "--weights", str(run_dir / "last"),
+        "--source1", rgb_dir, "--source2", ir_dir, "--img-size", "128",
+        "--conf-thres", "0.1", "--nc", "2", "--fp32", "--save-txt",
+        "--project", str(root / "runs_det"), "--name", "exp",
+    ])
+    assert out["n_images"] == 8
+    det_dir = root / "runs_det" / "exp"
+    assert any(det_dir.glob("*_rgb.jpg"))
+
+
+def test_resume_roundtrip(workspace):
+    root, data_yaml = workspace
+    from multispectral_object_detection_tpu.cli.train_cli import main as train_main
+
+    train_main([
+        "--cfg", "yolov5n_fusion_add", "--data", data_yaml,
+        "--epochs", "2", "--batch-size", "4", "--img-size", "128",
+        "--project", str(root / "runs2"), "--name", "exp", "--fp32",
+        "--max-labels", "30", "--noval",
+    ])
+    res = train_main([
+        "--cfg", "yolov5n_fusion_add", "--data", data_yaml,
+        "--epochs", "4", "--batch-size", "4", "--img-size", "128",
+        "--project", str(root / "runs2"), "--name", "exp2", "--fp32",
+        "--max-labels", "30", "--noval",
+        "--resume", str(root / "runs2" / "exp" / "last"),
+    ])
+    meta = json.loads((root / "runs2" / "exp2" / "last" / "meta.json").read_text())
+    assert meta["epoch"] == 3  # resumed at 2, trained to 3

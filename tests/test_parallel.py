@@ -1,0 +1,81 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multispectral_object_detection_tpu.parallel.mesh import (
+    batch_sharding, make_mesh, param_shardings)
+
+
+def test_mesh_shapes():
+    m = make_mesh(n_data=4, n_model=2)
+    assert dict(m.shape) == {"data": 4, "model": 2}
+    m2 = make_mesh()
+    assert m2.shape["data"] == 8 and m2.shape["model"] == 1
+
+
+def test_dryrun_multichip_8():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+
+
+def test_dryrun_multichip_2_data_only():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(2)
+
+
+def test_data_parallel_matches_single_device():
+    """The sharded forward must compute the same math as unsharded."""
+    from multispectral_object_detection_tpu.models import build_model
+    from multispectral_object_detection_tpu.models.configs import yolov5
+
+    model = build_model(yolov5("n", nc=2))
+    x = jax.random.uniform(jax.random.PRNGKey(0), (8, 64, 64, 3))
+    v = model.init(jax.random.PRNGKey(1), x)
+
+    ref = model.apply(v, x)
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    xs = jax.device_put(x, batch_sharding(mesh))
+
+    @jax.jit
+    def fwd(params, xx):
+        return model.apply(params, xx)
+
+    out = fwd(v, xs)
+    for a, b in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_tensor_parallel_fusion_matches_replicated():
+    """TP-sharded CFT forward == replicated forward (same params)."""
+    from multispectral_object_detection_tpu.models.fusion import CrossModalFusion
+
+    mod = CrossModalFusion(d_model=64, num_heads=8, n_layer=2)
+    rgb = jax.random.uniform(jax.random.PRNGKey(0), (4, 16, 16, 64))
+    ir = jax.random.uniform(jax.random.PRNGKey(1), (4, 16, 16, 64))
+    v = mod.init(jax.random.PRNGKey(2), (rgb, ir), train=False)
+    ref = mod.apply(v, (rgb, ir), train=False)
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    shards = param_shardings(v["params"], mesh, tensor_parallel=True)
+    vp = {"params": jax.tree.map(jax.device_put, v["params"], shards)}
+    # at least one kernel must actually be partitioned over 'model'
+    specs = jax.tree.leaves(jax.tree.map(lambda s: s.spec, shards,
+                                         is_leaf=lambda x: hasattr(x, "spec")))
+    assert any("model" in str(s) for s in specs)
+
+    @jax.jit
+    def fwd(params, a, b):
+        return mod.apply(params, (a, b), train=False)
+
+    out = fwd(vp, jax.device_put(rgb, batch_sharding(mesh)),
+              jax.device_put(ir, batch_sharding(mesh)))
+    for a, b in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
