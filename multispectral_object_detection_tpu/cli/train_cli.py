@@ -52,6 +52,8 @@ def parse_args(argv=None):
     ap.add_argument("--fp32", action="store_true", help="disable bf16 compute")
     ap.add_argument("--n-model", type=int, default=1,
                     help="tensor-parallel axis size for the CFT blocks")
+    ap.add_argument("--evolve", type=int, default=0, metavar="N",
+                    help="evolve hyperparameters for N generations")
     return ap.parse_args(argv)
 
 
@@ -285,8 +287,70 @@ def run(args) -> dict:
     return final
 
 
+def evolve(args) -> dict:
+    """Genetic hyperparameter evolution (reference train.py:1016-1094):
+    single-parent mutation (80% prob, 20% sigma) from a fitness-weighted
+    parent pool, bounds from EVOLVE_META, results appended to evolve.txt."""
+    import numpy as np
+
+    from ..data.hyps import EVOLVE_META, load_hyp
+    from ..utils.metrics import fitness as fitness_fn
+
+    base_dir = Path(args.project) / f"{args.name}_evolve"
+    base_dir.mkdir(parents=True, exist_ok=True)
+    evolve_file = base_dir / "evolve.txt"
+    hyp = load_hyp(args.hyp)
+    rng = np.random.default_rng(args.seed)
+    keys = [k for k in EVOLVE_META if k in hyp]
+
+    best = None
+    for gen in range(args.evolve):
+        if evolve_file.exists() and evolve_file.stat().st_size:
+            rows = np.atleast_2d(np.loadtxt(evolve_file))
+            n = min(5, len(rows))
+            top = rows[np.argsort(-rows[:, 0])][:n]
+            w = top[:, 0] - top[:, 0].min() + 1e-6
+            parent = top[rng.choice(n, p=w / w.sum())]
+            # mutate (train.py:1057-1067)
+            for _ in range(100):
+                v = np.ones(len(keys))
+                while all(v == 1):
+                    g = np.array([EVOLVE_META[k][0] for k in keys])
+                    v = (g * (rng.random(len(keys)) < 0.8) *
+                         rng.standard_normal(len(keys)) * rng.random() * 0.2
+                         + 1).clip(0.3, 3.0)
+                if not all(v == 1):
+                    break
+            for i, k in enumerate(keys):
+                hyp[k] = float(parent[i + 1] * v[i])
+        for k in keys:  # clip to bounds
+            hyp[k] = float(np.clip(hyp[k], EVOLVE_META[k][1], EVOLVE_META[k][2]))
+
+        sub = argparse.Namespace(**vars(args))
+        sub.hyp = dict(hyp)
+        sub.evolve = 0
+        sub.name = f"{args.name}_evolve/gen{gen}"
+        sub.nosave = True
+        sub.exist_ok = True
+        res = run(sub)
+        fi = fitness_fn(res.get("mp", 0), res.get("mr", 0),
+                        res.get("map50", 0), res.get("map", 0))
+        with open(evolve_file, "a") as f:
+            f.write(" ".join([f"{fi:.6f}"] + [f"{hyp[k]:.6g}" for k in keys])
+                    + "\n")
+        logger.info(f"evolve gen {gen}: fitness {fi:.4f}")
+        if best is None or fi > best[0]:
+            best = (fi, dict(hyp))
+            (base_dir / "hyp_evolved.yaml").write_text(yaml.safe_dump(hyp))
+    return {"best_fitness": best[0] if best else 0.0,
+            "hyp": best[1] if best else hyp}
+
+
 def main(argv=None):
-    return run(parse_args(argv))
+    args = parse_args(argv)
+    if args.evolve > 0:
+        return evolve(args)
+    return run(args)
 
 
 if __name__ == "__main__":

@@ -177,6 +177,18 @@ class PairedDetectionDataset:
             idxs = [i] + [rng.randint(0, len(self) - 1) for _ in range(3)]
             rgb, ir, lab_xyxy = mosaic4_pair(
                 lambda j: self._load_pair(j)[:3], idxs, s, hyp, rng)
+            # mixup: single-modality only, like the reference (multimodal
+            # mixup is disabled at datasets.py:1179-1185)
+            if (self.ir_files is None
+                    and rng.random() < hyp.get("mixup", 0.0)):
+                idxs2 = [rng.randint(0, len(self) - 1) for _ in range(4)]
+                rgb2, _, lab2 = mosaic4_pair(
+                    lambda j: self._load_pair(j)[:3], idxs2, s, hyp, rng)
+                r = np.random.beta(32.0, 32.0)
+                rgb = (rgb.astype(np.float32) * r
+                       + rgb2.astype(np.float32) * (1 - r)).astype(np.uint8)
+                ir = rgb
+                lab_xyxy = np.concatenate([lab_xyxy, lab2], 0)
             shape_info = ((s, s), ((1.0, 1.0), (0.0, 0.0)))
         else:
             rgb0, ir0, lab, hw0 = self._load_pair(i)
@@ -282,7 +294,8 @@ class BatchLoader:
 
     def __init__(self, dataset: PairedDetectionDataset, batch_size: int, *,
                  shuffle: bool = False, seed: int = 0, max_labels: int = 120,
-                 drop_last: bool = True, prefetch: bool = True):
+                 drop_last: bool = True, prefetch: bool = True,
+                 image_weights: bool = False, class_weights=None):
         self.ds = dataset
         self.bs = batch_size
         self.shuffle = shuffle
@@ -291,15 +304,30 @@ class BatchLoader:
         self.max_labels = max_labels
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.image_weights = image_weights
+        self.class_weights = class_weights
 
     def __len__(self):
         n = len(self.ds)
         return n // self.bs if self.drop_last else -(-n // self.bs)
 
     def _indices(self):
+        rng = np.random.default_rng(self.seed + self.epoch)
+        if self.image_weights:
+            # class-frequency-weighted resampling (train.py:690-699)
+            from ..utils.general import (labels_to_class_weights,
+                                         labels_to_image_weights)
+
+            nc = int(max((l[:, 0].max() for l in self.ds.labels if len(l)),
+                         default=0)) + 1
+            cw = (self.class_weights if self.class_weights is not None
+                  else labels_to_class_weights(self.ds.labels, nc))
+            iw = labels_to_image_weights(self.ds.labels, nc, cw)
+            p = iw / iw.sum() if iw.sum() > 0 else None
+            return rng.choice(len(self.ds), size=len(self.ds), p=p)
         idx = np.arange(len(self.ds))
         if self.shuffle:
-            np.random.default_rng(self.seed + self.epoch).shuffle(idx)
+            rng.shuffle(idx)
         return idx
 
     def _assemble(self, batch_idx, rng):

@@ -1,0 +1,184 @@
+"""High-level model factory + input-robust inference wrapper.
+
+Capability parity with the reference torch-hub surface (hubconf.py:21-122)
+and `autoShape`/`Detections` (models/common.py:260-414): build any named
+config, optionally load a checkpoint, and run inference on raw numpy/file
+inputs with letterboxing, NMS and coordinate rescale handled internally.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List, Optional, Sequence, Union
+
+import numpy as np
+
+
+def create(name: str = "yolov5s", nc: Optional[int] = None,
+           weights: Optional[str] = None, dtype=None):
+    """Build a model by name ('yolov5s', 'yolov5l_fusion_transformerx3', ...).
+
+    Returns (model, params, batch_stats); randomly initialized unless a
+    checkpoint dir is given.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .models import build_model
+    from .models.configs import get_config
+    from .utils.checkpoint import load_inference_params
+
+    model = build_model(get_config(name, nc=nc),
+                        dtype=dtype or jnp.float32)
+    if weights:
+        params, stats = load_inference_params(weights)
+    else:
+        s = 64
+        args = [jnp.zeros((1, s, s, 3))] * (2 if model.spec.two_stream else 1)
+        v = jax.jit(lambda r, *a: model.init(r, *a, train=False))(
+            jax.random.PRNGKey(0), *args)
+        params, stats = v["params"], v.get("batch_stats", {})
+    return model, params, stats
+
+
+class DetectionResults:
+    """Ragged per-image results with pandas/save/render conveniences
+    (the `Detections` of models/common.py:330)."""
+
+    def __init__(self, boxes: List[np.ndarray], scores: List[np.ndarray],
+                 classes: List[np.ndarray], names: Sequence[str],
+                 images: Optional[List[np.ndarray]] = None):
+        self.boxes = boxes
+        self.scores = scores
+        self.classes = classes
+        self.names = list(names)
+        self.images = images
+        self.n = len(boxes)
+
+    def __len__(self):
+        return self.n
+
+    def pandas(self):
+        import pandas as pd
+
+        frames = []
+        for b, s, c in zip(self.boxes, self.scores, self.classes):
+            frames.append(pd.DataFrame({
+                "xmin": b[:, 0], "ymin": b[:, 1], "xmax": b[:, 2],
+                "ymax": b[:, 3], "confidence": s, "class": c.astype(int),
+                "name": [self.names[int(i)] if int(i) < len(self.names)
+                         else str(int(i)) for i in c],
+            }))
+        return frames
+
+    def render(self) -> List[np.ndarray]:
+        import cv2
+
+        out = []
+        for i in range(self.n):
+            img = self.images[i].copy()
+            for b, s, c in zip(self.boxes[i], self.scores[i], self.classes[i]):
+                cv2.rectangle(img, (int(b[0]), int(b[1])),
+                              (int(b[2]), int(b[3])), (255, 56, 56), 2)
+                nm = self.names[int(c)] if int(c) < len(self.names) else str(int(c))
+                cv2.putText(img, f"{nm} {s:.2f}", (int(b[0]), int(b[1]) - 4),
+                            cv2.FONT_HERSHEY_SIMPLEX, 0.6, (255, 56, 56), 2)
+            out.append(img)
+        return out
+
+    def save(self, save_dir: str = "runs/hub"):
+        import cv2
+
+        d = Path(save_dir)
+        d.mkdir(parents=True, exist_ok=True)
+        for i, img in enumerate(self.render()):
+            cv2.imwrite(str(d / f"image{i}.jpg"), img[:, :, ::-1])
+        return d
+
+
+class Detector:
+    """Input-robust detector: file paths or HWC uint8 arrays in, ragged
+    native-space detections out (the `autoShape` of common.py:260)."""
+
+    def __init__(self, name: str = "yolov5s", nc: Optional[int] = None,
+                 weights: Optional[str] = None, img_size: int = 640,
+                 conf: float = 0.25, iou: float = 0.45,
+                 names: Optional[Sequence[str]] = None, dtype=None):
+        self.model, self.params, self.stats = create(name, nc, weights, dtype)
+        self.img_size = img_size
+        self.conf = conf
+        self.iou = iou
+        self.two_stream = self.model.spec.two_stream
+        self.names = list(names) if names else [
+            str(i) for i in range(self.model.spec.nc)]
+        self._infer = None
+
+    def _compile(self):
+        import jax
+        import jax.numpy as jnp
+
+        from .ops.nms import batched_nms
+
+        model, params, stats = self.model, self.params, self.stats
+        conf, iou = self.conf, self.iou
+
+        @jax.jit
+        def infer(rgb, ir):
+            x = rgb.astype(jnp.float32) / 255.0
+            ins = (x,) if not self.two_stream else (
+                x, ir.astype(jnp.float32) / 255.0)
+            feats = model.apply({"params": params, "batch_stats": stats},
+                                *ins, train=False)
+            d = model.decode(feats)
+            return batched_nms(d, conf_thres=conf, iou_thres=iou,
+                               multi_label=False, max_det=300, top_k=1024)
+
+        self._infer = infer
+
+    @staticmethod
+    def _to_img(x) -> np.ndarray:
+        if isinstance(x, (str, Path)):
+            import cv2
+
+            im = cv2.imread(str(x))
+            assert im is not None, f"image not found: {x}"
+            return im[:, :, ::-1]
+        return np.asarray(x)
+
+    def __call__(self, imgs, ir_imgs=None) -> DetectionResults:
+        import jax.numpy as jnp
+
+        from .data.augment import letterbox
+
+        if self._infer is None:
+            self._compile()
+        if not isinstance(imgs, (list, tuple)):
+            imgs = [imgs]
+        if ir_imgs is not None and not isinstance(ir_imgs, (list, tuple)):
+            ir_imgs = [ir_imgs]
+        if self.two_stream:
+            assert ir_imgs is not None, "two-stream model needs IR inputs"
+
+        raw = [self._to_img(x) for x in imgs]
+        raw_ir = [self._to_img(x) for x in ir_imgs] if ir_imgs else raw
+        s = self.img_size
+        batch_rgb, batch_ir, meta = [], [], []
+        for r, i2 in zip(raw, raw_ir):
+            lb, ratio, pad = letterbox(r, (s, s), auto=False)
+            li, _, _ = letterbox(i2, (s, s), auto=False)
+            batch_rgb.append(lb)
+            batch_ir.append(li)
+            meta.append((r.shape[:2], ratio, pad))
+        det = self._infer(jnp.asarray(np.stack(batch_rgb)),
+                          jnp.asarray(np.stack(batch_ir)))
+
+        boxes_l, scores_l, classes_l = [], [], []
+        for i, (hw0, ratio, pad) in enumerate(meta):
+            v = np.asarray(det.valid[i])
+            b = np.asarray(det.boxes[i])[v]
+            b[:, [0, 2]] = ((b[:, [0, 2]] - pad[0]) / ratio[0]).clip(0, hw0[1])
+            b[:, [1, 3]] = ((b[:, [1, 3]] - pad[1]) / ratio[1]).clip(0, hw0[0])
+            boxes_l.append(b)
+            scores_l.append(np.asarray(det.scores[i])[v])
+            classes_l.append(np.asarray(det.classes[i])[v])
+        return DetectionResults(boxes_l, scores_l, classes_l, self.names, raw)
