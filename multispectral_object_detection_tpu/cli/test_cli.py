@@ -33,6 +33,8 @@ def parse_args(argv=None):
     ap.add_argument("--single-cls", action="store_true")
     ap.add_argument("--max-labels", type=int, default=300)
     ap.add_argument("--save-json", type=str, default="")
+    ap.add_argument("--save-coco", type=str, default="",
+                    help="write COCO-format detection JSON (test.py:172-182)")
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--fp32", action="store_true")
     return ap.parse_args(argv)
@@ -83,6 +85,21 @@ def run(args) -> dict:
     if args.task == "speed":
         return speed_task(fwd, params, stats, loader, args)
 
+    if args.task == "study":
+        # mAP-vs-image-size sweep (test.py:360-371)
+        results = {}
+        for sz in [256, 320, 384, 448, 512, 640]:
+            sub_args = argparse.Namespace(**vars(args))
+            sub_args.img_size = sz
+            sub_args.task = "val"
+            r = run(sub_args)
+            results[sz] = {"map50": r["map50"], "map": r["map"]}
+            logger.info(f"study @{sz}: mAP50 {r['map50']:.3f}")
+        return results
+
+    if args.save_coco:
+        _save_coco_json(fwd, params, stats, loader, ds, args)
+
     res = evaluate(fwd, params, stats, loader, nc=nc,
                    conf_thres=args.conf_thres, iou_thres=args.iou_thres,
                    single_cls=args.single_cls)
@@ -103,6 +120,49 @@ def run(args) -> dict:
             {k: v for k, v in res.items()
              if isinstance(v, (int, float, dict))}, indent=1, default=float))
     return res
+
+
+def _save_coco_json(fwd, params, stats, loader, ds, args):
+    """COCO detection records [{image_id, category_id, bbox, score}, ...]
+    (test.py:172-182); bbox is xywh top-left, native space."""
+    from ..ops.nms import batched_nms
+    from ..train.evaluator import _rescale_to_native
+    from ..utils.general import coco80_to_coco91_class
+
+    is_coco = "coco" in str(args.data).lower()
+    c91 = coco80_to_coco91_class()
+    jdict = []
+    img_i = 0
+    for batch in loader:
+        rgb = batch["rgb"]
+        ir = batch.get("ir", rgb)
+        dets_flat, _ = fwd(params, stats, rgb, ir)
+        det = batched_nms(dets_flat, conf_thres=args.conf_thres,
+                          iou_thres=args.iou_thres,
+                          multi_label=not args.single_cls,
+                          agnostic=args.single_cls)
+        S = rgb.shape[1]
+        for si in range(rgb.shape[0]):
+            stem = Path(ds.rgb_files[img_i]).stem
+            image_id = int(stem) if stem.isnumeric() else stem
+            v = np.asarray(det.valid[si])
+            boxes = np.asarray(det.boxes[si])[v]
+            native_hw, ratio_pad = batch["shapes"][si]
+            if len(boxes):
+                boxes = _rescale_to_native(boxes, (S, S), native_hw, ratio_pad)
+            for b, s, c in zip(boxes, np.asarray(det.scores[si])[v],
+                               np.asarray(det.classes[si])[v]):
+                jdict.append({
+                    "image_id": image_id,
+                    "category_id": c91[int(c)] if is_coco else int(c),
+                    "bbox": [round(float(b[0]), 3), round(float(b[1]), 3),
+                             round(float(b[2] - b[0]), 3),
+                             round(float(b[3] - b[1]), 3)],
+                    "score": round(float(s), 5),
+                })
+            img_i += 1
+    Path(args.save_coco).write_text(json.dumps(jdict))
+    logger.info(f"wrote {len(jdict)} COCO records -> {args.save_coco}")
 
 
 def speed_task(fwd, params, stats, loader, args) -> dict:

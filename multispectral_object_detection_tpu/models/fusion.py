@@ -23,8 +23,9 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..ops.attention import (adaptive_avg_pool_2d, bilinear_resize_2d,
-                             multi_head_attention)
+import jax
+
+from ..ops.attention import adaptive_avg_pool_2d, bilinear_resize_2d
 
 _INIT = nn.initializers.normal(stddev=0.02)
 
@@ -42,18 +43,29 @@ class FusionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        b, n, c = x.shape
+        nh = self.num_heads
+        d = c // nh
         h = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32,
                          name="ln_in")(x.astype(jnp.float32)).astype(self.dtype)
-        q = nn.Dense(self.d_model, kernel_init=_INIT, dtype=self.dtype,
-                     param_dtype=jnp.float32, name="q")(h)
-        k = nn.Dense(self.d_model, kernel_init=_INIT, dtype=self.dtype,
-                     param_dtype=jnp.float32, name="k")(h)
-        v = nn.Dense(self.d_model, kernel_init=_INIT, dtype=self.dtype,
-                     param_dtype=jnp.float32, name="v")(h)
-        drop_rng = self.make_rng("dropout") if (train and self.attn_drop > 0) else None
-        a = multi_head_attention(q, k, v, self.num_heads,
-                                 dropout_rate=self.attn_drop if train else 0.0,
-                                 dropout_rng=drop_rng, dtype=self.dtype)
+        # fused QKV projection; head split via reshape, attention via
+        # batched einsum (no explicit transposes — MXU-friendlier than the
+        # torch permute dance, measured on v5e)
+        qkv = nn.Dense(3 * self.d_model, kernel_init=_INIT, dtype=self.dtype,
+                       param_dtype=jnp.float32, name="qkv")(h)
+        qkv = qkv.reshape(b, n, 3, nh, d)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, D)
+        logits = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                            preferred_element_type=jnp.float32)
+        logits = logits / jnp.sqrt(jnp.float32(d))
+        attn = jax.nn.softmax(logits, axis=-1)
+        if train and self.attn_drop > 0:
+            drop_rng = self.make_rng("dropout")
+            keep = jax.random.bernoulli(drop_rng, 1.0 - self.attn_drop,
+                                        attn.shape)
+            attn = jnp.where(keep, attn / (1.0 - self.attn_drop), 0.0)
+        attn = attn.astype(self.dtype)
+        a = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, c)
         a = nn.Dense(self.d_model, kernel_init=_INIT, dtype=self.dtype,
                      param_dtype=jnp.float32, name="proj")(a)
         a = nn.Dropout(self.resid_drop)(a, deterministic=not train)

@@ -15,6 +15,7 @@ import math
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -336,6 +337,158 @@ class GhostBottleneck(nn.Module):
         else:
             sc = x
         return y + sc
+
+
+class TransformerLayerSimple(nn.Module):
+    """No-LayerNorm transformer layer used inside C3TR (common.py:53)."""
+
+    c: int
+    num_heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from ..ops.attention import multi_head_attention
+
+        q = nn.Dense(self.c, use_bias=False, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="q")(x)
+        k = nn.Dense(self.c, use_bias=False, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="k")(x)
+        v = nn.Dense(self.c, use_bias=False, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="v")(x)
+        # reference uses nn.MultiheadAttention with its own in/out projections
+        a = multi_head_attention(q, k, v, self.num_heads, dtype=self.dtype)
+        a = nn.Dense(self.c, use_bias=True, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="out")(a)
+        x = x + a
+        y = nn.Dense(self.c, use_bias=False, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="fc1")(x)
+        y = nn.Dense(self.c, use_bias=False, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="fc2")(y)
+        return x + y
+
+
+class TransformerBlock2D(nn.Module):
+    """ViT-style block over a feature map (common.py:70): optional conv to
+    target width, learned position embedding, N simple transformer layers."""
+
+    c1: int
+    c2: int
+    num_heads: int
+    num_layers: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.c1 != self.c2:
+            x = ConvBnAct(self.c2, 1, 1, dtype=self.dtype, name="conv")(
+                x, train=train)
+        b, h, w, c = x.shape
+        p = x.reshape(b, h * w, c)
+        e = nn.Dense(self.c2, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="pos")(p)
+        y = p + e
+        for i in range(self.num_layers):
+            y = TransformerLayerSimple(self.c2, self.num_heads,
+                                       dtype=self.dtype, name=f"tr{i}")(
+                                           y, train=train)
+        return y.reshape(b, h, w, self.c2)
+
+
+class C3TR(nn.Module):
+    """C3 with a TransformerBlock core (common.py:146)."""
+
+    c1: int
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    dtype: Any = jnp.float32
+    fused: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y1 = ConvBnAct(c_, 1, 1, dtype=self.dtype, fused=self.fused,
+                       name="cv1")(x, train=train)
+        y1 = TransformerBlock2D(c_, c_, 4, self.n, dtype=self.dtype,
+                                name="m")(y1, train=train)
+        y2 = ConvBnAct(c_, 1, 1, dtype=self.dtype, fused=self.fused,
+                       name="cv2")(x, train=train)
+        y = jnp.concatenate([y1, y2], axis=-1)
+        return ConvBnAct(self.c2, 1, 1, dtype=self.dtype, fused=self.fused,
+                         name="cv3")(y, train=train)
+
+
+class MixConv2d(nn.Module):
+    """Mixed-kernel-size conv (experimental.py:79): channel groups get
+    different kernel sizes; outputs concatenated, then BN + SiLU."""
+
+    c1: int
+    c2: int
+    k: Sequence[int] = (1, 3)
+    s: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        import numpy as _np
+
+        groups = len(self.k)
+        # equal-channel split (reference equal_ch=True path)
+        i = _np.floor(_np.linspace(0, groups - 1e-6, self.c2))
+        c_ = [int((i == g).sum()) for g in range(groups)]
+        outs = []
+        for gi, (kk, cc) in enumerate(zip(self.k, c_)):
+            outs.append(nn.Conv(cc, (kk, kk), strides=(self.s, self.s),
+                                padding=[(kk // 2, kk // 2)] * 2,
+                                use_bias=False, dtype=self.dtype,
+                                param_dtype=jnp.float32, name=f"m{gi}")(x))
+        y = jnp.concatenate(outs, axis=-1).astype(jnp.float32)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.97,
+                         epsilon=1e-3, dtype=jnp.float32,
+                         param_dtype=jnp.float32, name="bn")(y)
+        return nn.silu(y).astype(self.dtype)
+
+
+class Sum(nn.Module):
+    """Weighted sum of inputs (experimental.py:17)."""
+
+    n: int
+    weight: bool = False
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        y = xs[0]
+        if self.weight:
+            w = self.param("w", lambda k, s: -jnp.arange(1.0, s[0] + 1.0) / 2,
+                           (self.n - 1,))
+            w = jax.nn.sigmoid(w) * 2
+            for i in range(self.n - 1):
+                y = y + xs[i + 1] * w[i]
+        else:
+            for i in range(self.n - 1):
+                y = y + xs[i + 1]
+        return y
+
+
+class Classify(nn.Module):
+    """Classification head (common.py:417): global pool + 1x1 conv + flatten."""
+
+    c2: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if isinstance(x, (list, tuple)):
+            x = jnp.concatenate([v.mean(axis=(1, 2), keepdims=True)
+                                 for v in x], axis=-1)
+        else:
+            x = x.mean(axis=(1, 2), keepdims=True)
+        y = nn.Conv(self.c2, (1, 1), use_bias=True, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="conv")(x)
+        return y.reshape(y.shape[0], -1)
 
 
 class CrossConv(nn.Module):

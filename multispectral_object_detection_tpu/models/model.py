@@ -48,6 +48,19 @@ def _build_module(node: Node, dtype, fused: bool = False) -> nn.Module:
         return L.C3(a[0], a[1], n=a[2],
                     shortcut=a[3] if len(a) > 3 else True, dtype=dtype,
                     fused=fused)
+    if k == "C3TR":
+        return L.C3TR(a[0], a[1], n=a[2],
+                      shortcut=a[3] if len(a) > 3 else True, dtype=dtype,
+                      fused=fused)
+    if k == "MixConv2d":
+        return L.MixConv2d(a[0], a[1], k=tuple(a[2]) if len(a) > 2 else (1, 3),
+                           s=a[3] if len(a) > 3 else 1, dtype=dtype)
+    if k == "Sum":
+        return L.Sum(n=a[0], weight=a[1] if len(a) > 1 else False)
+    if k == "Classify":
+        return L.Classify(c2=a[1], dtype=dtype)
+    if k == "TransformerBlock":
+        return L.TransformerBlock2D(a[0], a[1], a[2], a[3], dtype=dtype)
     if k == "SPP":
         return L.SPP(a[0], a[1], k=tuple(a[2]) if len(a) > 2 else (5, 9, 13),
                      dtype=dtype, fused=fused)
@@ -111,14 +124,14 @@ class DetectionModel(nn.Module):
         cur = x.astype(self.dtype)
         x2 = None if x2 is None else x2.astype(self.dtype)
         for node, mod in zip(self.spec.nodes, self.blocks):
-            if node.frm == (-4,):
+            if node.frm == (-4,) and not node.multi:
                 inp = x2
-            elif node.frm == (-1,):
+            elif node.frm == (-1,) and not node.multi:
                 inp = cur
-            elif len(node.frm) == 1:
-                inp = saved[node.frm[0]]
-            else:
+            elif node.multi:
                 inp = [cur if j == -1 else saved[j] for j in node.frm]
+            else:
+                inp = saved[node.frm[0]]
             if isinstance(mod, (list, tuple)):
                 for m in mod:
                     inp = m(inp, train=train)

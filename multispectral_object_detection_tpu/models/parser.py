@@ -49,6 +49,8 @@ _CANONICAL = {
     "Add": "Add",
     "Add2": "Add2",
     "GPT": "GPT",
+    "Sum": "Sum",
+    "Classify": "Classify",
     "TransformerBlock": "TransformerBlock",
     "nn.Upsample": "Upsample",
     "Upsample": "Upsample",
@@ -76,6 +78,7 @@ class Node:
     args: Tuple[Any, ...] # constructor args (channels already resolved/scaled)
     c1: int
     c2: int
+    multi: bool = False   # YAML `from` was a list -> module receives a list
 
 
 @dataclasses.dataclass(frozen=True)
@@ -142,7 +145,9 @@ def parse_model_config(cfg, ch_in: int = 3, nc: Optional[int] = None,
     ch = [ch_in]
     nodes = []
     save: set[int] = set()
-    strides = tuple(cfg.get("strides", (8, 16, 32)))
+    nl_cfg = len(anchors) if isinstance(anchors, list) else 3
+    strides = tuple(cfg.get("strides",
+                            tuple(8 * 2 ** i for i in range(nl_cfg))))
     two_stream = False
 
     for i, (f, n, mname, args) in enumerate(rows):
@@ -174,6 +179,13 @@ def parse_model_config(cfg, ch_in: int = 3, nc: Optional[int] = None,
         elif kind == "Add":
             c1 = c2 = ch[frm[0]]
             args = [c2]
+        elif kind == "Sum":
+            c1 = c2 = ch[frm[0]]
+            args = [len(frm)] + list(args)
+        elif kind == "Classify":
+            c1 = ch[frm[0]] if isinstance(frm[0], int) else sum(ch[x] for x in frm)
+            c2 = args[0]
+            args = [c1, c2]
         elif kind == "Add2":
             c1 = c2 = ch[frm[0]]
             args = [c2, args[1]]
@@ -202,7 +214,8 @@ def parse_model_config(cfg, ch_in: int = 3, nc: Optional[int] = None,
             c1 = c2 = ch[frm[0]]
 
         nodes.append(Node(index=i, frm=frm, repeats=reps, kind=kind,
-                          args=_to_tuple(args), c1=c1, c2=c2))
+                          args=_to_tuple(args), c1=c1, c2=c2,
+                          multi=isinstance(f, (list, tuple))))
         save.update(x for x in frm if x not in (-1, -4))
         if i == 0:
             ch = []

@@ -54,13 +54,13 @@ def _fusion_spec(path_keys, leaf) -> P:
     joined = "/".join(keys)
     if "block" in joined and leaf.ndim == 2:
         name = keys[-2] if len(keys) >= 2 else ""
-        if name in ("q", "k", "v", "fc1"):
+        if name in ("qkv", "fc1"):
             return P(None, "model")   # column parallel
         if name in ("proj", "fc2"):
             return P("model", None)   # row parallel
     if "block" in joined and leaf.ndim == 1:
         name = keys[-2] if len(keys) >= 2 else ""
-        if name in ("q", "k", "v", "fc1"):
+        if name in ("qkv", "fc1"):
             return P("model")
     return P()
 
