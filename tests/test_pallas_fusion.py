@@ -1,0 +1,58 @@
+"""Pallas fused CFT stack vs pure-jnp reference (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multispectral_object_detection_tpu.ops.pallas_fusion import (
+    fused_cft_stack, fused_cft_stack_reference)
+
+
+def _inputs(B=2, N=128, C=256, L=3, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 12)
+    f = lambda k, s: jax.random.normal(k, s, jnp.float32) * 0.05
+    x = f(ks[0], (B, N, C))
+    args = [f(ks[1], (L, C, 3 * C)), f(ks[2], (L, 3 * C)),
+            f(ks[3], (L, C, C)), f(ks[4], (L, C)),
+            f(ks[5], (L, C, 4 * C)), f(ks[6], (L, 4 * C)),
+            f(ks[7], (L, 4 * C, C)), f(ks[8], (L, C)),
+            jnp.stack([1 + 0.1 * f(ks[9], (L, C)), 0.1 * f(ks[10], (L, C))], 1),
+            jnp.stack([1 + 0.1 * f(ks[11], (L, C)), jnp.zeros((L, C))], 1)]
+    return x, args
+
+
+def test_pallas_matches_reference_interpret():
+    x, args = _inputs()
+    ref = fused_cft_stack_reference(x, *args, num_heads=8)
+    out = fused_cft_stack(x, *args, num_heads=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_reference_matches_fusion_module():
+    """The jnp reference reproduces CrossModalFusion's block stack (eval)."""
+    from multispectral_object_detection_tpu.models.fusion import FusionBlock
+
+    B, N, C, L = 2, 128, 64, 2
+    x, args = _inputs(B=B, N=N, C=C, L=L, seed=3)
+    (wqkv, bqkv, wp, bp, w1, b1, w2, b2, ln1, ln2) = args
+
+    y = x
+    for i in range(L):
+        blk = FusionBlock(d_model=C, num_heads=8, attn_drop=0.0,
+                          resid_drop=0.0)
+        params = {"params": {
+            "ln_in": {"scale": ln1[i, 0], "bias": ln1[i, 1]},
+            "qkv": {"kernel": wqkv[i], "bias": bqkv[i]},
+            "proj": {"kernel": wp[i], "bias": bp[i]},
+            "ln_out": {"scale": ln2[i, 0], "bias": ln2[i, 1]},
+            "fc1": {"kernel": w1[i], "bias": b1[i]},
+            "fc2": {"kernel": w2[i], "bias": b2[i]},
+        }}
+        y = blk.apply(params, y, train=False)
+
+    ref = fused_cft_stack_reference(x, *args, num_heads=8)
+    # LN epsilons differ (flax 1e-6 default vs kernel 1e-6) — must agree
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=5e-4, atol=5e-4)
