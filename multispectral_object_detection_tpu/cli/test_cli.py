@@ -37,6 +37,8 @@ def parse_args(argv=None):
                     help="write COCO-format detection JSON (test.py:172-182)")
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--fp32", action="store_true")
+    ap.add_argument("--no-rect", action="store_true",
+                    help="square letterbox instead of rect batches (pad 0.5)")
     return ap.parse_args(argv)
 
 
@@ -73,7 +75,8 @@ def run(args) -> dict:
     ds = PairedDetectionDataset.from_sources(
         data[f"{split}_rgb"] if two_stream else data[split],
         data.get(f"{split}_ir"), img_size=img_size, augment=False,
-        nc=None if args.single_cls else nc)
+        nc=None if args.single_cls else nc,
+        rect=not args.no_rect, pad=0.5)  # reference protocol (test.py:93)
     if args.single_cls:
         for l in ds.labels:
             if len(l):

@@ -131,7 +131,8 @@ class PairedDetectionDataset:
                  img_size: int = 640, augment: bool = False,
                  hyp: Optional[dict] = None, nc: Optional[int] = None,
                  cache_dir: Optional[str] = None, pad: float = 0.0,
-                 scaleup_eval: bool = False):
+                 scaleup_eval: bool = False, rect: bool = False,
+                 stride: int = 32):
         self.rgb_files = list(rgb_files)
         self.ir_files = list(ir_files) if ir_files is not None else None
         if self.ir_files is not None:
@@ -143,6 +144,50 @@ class PairedDetectionDataset:
         self.labels = load_labels_cached(self.rgb_files, cache_dir, nc)
         self.pad = pad
         self.scaleup_eval = scaleup_eval
+        self.rect = rect and not augment
+        self.stride = stride
+        self.rect_order = None      # sorted index order (aspect ratio)
+        self.rect_shape = None      # per-ORIGINAL-index (h, w) canvas
+        if self.rect:
+            self._setup_rect()
+
+    def _image_shapes(self) -> np.ndarray:
+        """(n, 2) original (h, w) per image, header-only reads."""
+        from PIL import Image
+
+        shapes = []
+        for p in self.rgb_files:
+            with Image.open(p) as im:
+                w, h = im.size
+            shapes.append((h, w))
+        return np.asarray(shapes, dtype=np.float64)
+
+    def _setup_rect(self, batch_size: int = 32):
+        """Aspect-ratio bucketing (reference datasets.py:596-617): images are
+        sorted by h/w; each batch's canvas is the minimal stride-multiple
+        rectangle (with `pad` slack) covering its aspect range. Shapes are
+        quantized to the stride so XLA compiles only a handful of programs."""
+        s = self._image_shapes()
+        ar = s[:, 0] / s[:, 1]  # h / w
+        order = np.argsort(ar)
+        n = len(order)
+        nb = -(-n // batch_size)
+        shapes = np.ones((nb, 2))
+        for b in range(nb):
+            ari = ar[order[b * batch_size:(b + 1) * batch_size]]
+            mini, maxi = ari.min(), ari.max()
+            if maxi < 1:
+                shapes[b] = [maxi, 1.0]
+            elif mini > 1:
+                shapes[b] = [1.0, 1.0 / mini]
+        canvas = np.ceil(
+            shapes * self.img_size / self.stride + self.pad).astype(int) \
+            * self.stride
+        self.rect_order = order
+        self.rect_shape = {}
+        for b in range(nb):
+            for i in order[b * batch_size:(b + 1) * batch_size]:
+                self.rect_shape[int(i)] = (int(canvas[b, 0]), int(canvas[b, 1]))
 
     def __len__(self):
         return len(self.rgb_files)
@@ -193,10 +238,12 @@ class PairedDetectionDataset:
         else:
             rgb0, ir0, lab, hw0 = self._load_pair(i)
             h, w = rgb0.shape[:2]
+            canvas = (self.rect_shape[int(i)] if self.rect
+                      else (s, s))  # rect: per-bucket rectangle (pad 0.5)
             rgb, ratio, padwh = letterbox(
-                rgb0, (s, s), auto=False,
+                rgb0, canvas, auto=False,
                 scaleup=self.augment or self.scaleup_eval)
-            ir, _, _ = letterbox(ir0, (s, s), auto=False,
+            ir, _, _ = letterbox(ir0, canvas, auto=False,
                                  scaleup=self.augment or self.scaleup_eval)
             lab_xyxy = lab.copy()
             if lab.size:
@@ -298,6 +345,8 @@ class BatchLoader:
                  image_weights: bool = False, class_weights=None):
         self.ds = dataset
         self.bs = batch_size
+        if getattr(dataset, "rect", False):
+            dataset._setup_rect(batch_size)  # align buckets with batch size
         self.shuffle = shuffle
         self.seed = seed
         self.epoch = 0
@@ -313,6 +362,11 @@ class BatchLoader:
 
     def _indices(self):
         rng = np.random.default_rng(self.seed + self.epoch)
+        if getattr(self.ds, "rect", False):
+            if (self.ds.rect_order is None
+                    or len(self.ds.rect_shape) != len(self.ds)):
+                self.ds._setup_rect(self.bs)
+            return np.asarray(self.ds.rect_order)
         if self.image_weights:
             # class-frequency-weighted resampling (train.py:690-699)
             from ..utils.general import (labels_to_class_weights,

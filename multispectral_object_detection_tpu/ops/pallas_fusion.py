@@ -49,7 +49,7 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, w1_ref, b1_ref,
     # --- attention sublayer ---
     h = _ln(x, ln1_ref[0, 0, :], ln1_ref[0, 1, :]).astype(x_ref.dtype)
     qkv = jnp.dot(h, wqkv_ref[0], preferred_element_type=jnp.float32)
-    qkv = (qkv + bqkv_ref[0].astype(jnp.float32)).astype(x_ref.dtype)
+    qkv = (qkv + bqkv_ref[0, 0, :].astype(jnp.float32)).astype(x_ref.dtype)
 
     o = jnp.zeros((batch * n_tok, C), dtype=jnp.float32)
     for b in range(batch):
@@ -65,15 +65,15 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, w1_ref, b1_ref,
                 jnp.dot(att, v, preferred_element_type=jnp.float32))
     proj = jnp.dot(o.astype(x_ref.dtype), wp_ref[0],
                    preferred_element_type=jnp.float32)
-    x = x + proj + bp_ref[0].astype(jnp.float32)
+    x = x + proj + bp_ref[0, 0, :].astype(jnp.float32)
 
     # --- MLP sublayer ---
     h2 = _ln(x, ln2_ref[0, 0, :], ln2_ref[0, 1, :]).astype(x_ref.dtype)
     t = jnp.dot(h2, w1_ref[0], preferred_element_type=jnp.float32)
-    t = jax.nn.gelu(t + b1_ref[0].astype(jnp.float32),
+    t = jax.nn.gelu(t + b1_ref[0, 0, :].astype(jnp.float32),
                     approximate=False).astype(x_ref.dtype)
     t2 = jnp.dot(t, w2_ref[0], preferred_element_type=jnp.float32)
-    x = x + t2 + b2_ref[0].astype(jnp.float32)
+    x = x + t2 + b2_ref[0, 0, :].astype(jnp.float32)
 
     xs_ref[:] = x
 
@@ -94,6 +94,12 @@ def fused_cft_stack(x, wqkv, bqkv, wp, bp, w1, b1, w2, b2, ln1, ln2, *,
     B, N, C = x.shape
     L = wqkv.shape[0]
     x2 = x.reshape(B * N, C)
+    # biases as (L, 1, n): Pallas TPU blocks need the 2nd-to-last dim of a
+    # block to divide 8 or equal the array dim — (1, n) blocks of (L, n) fail
+    bqkv = bqkv.reshape(L, 1, -1)
+    bp = bp.reshape(L, 1, -1)
+    b1 = b1.reshape(L, 1, -1)
+    b2 = b2.reshape(L, 1, -1)
 
     def spec(shape3):
         return pl.BlockSpec((1,) + shape3, lambda i: (i,) + (0,) * len(shape3),
@@ -106,10 +112,10 @@ def fused_cft_stack(x, wqkv, bqkv, wp, bp, w1, b1, w2, b2, ln1, ln2, *,
         in_specs=[
             pl.BlockSpec((B * N, C), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),          # x
-            spec((C, 3 * C)), spec((3 * C,)),               # wqkv, bqkv
-            spec((C, C)), spec((C,)),                       # wp, bp
-            spec((C, 4 * C)), spec((4 * C,)),               # w1, b1
-            spec((4 * C, C)), spec((C,)),                   # w2, b2
+            spec((C, 3 * C)), spec((1, 3 * C)),             # wqkv, bqkv
+            spec((C, C)), spec((1, C)),                     # wp, bp
+            spec((C, 4 * C)), spec((1, 4 * C)),             # w1, b1
+            spec((4 * C, C)), spec((1, C)),                 # w2, b2
             spec((2, C)), spec((2, C)),                     # ln1, ln2
         ],
         out_specs=pl.BlockSpec((B * N, C), lambda i: (0, 0),

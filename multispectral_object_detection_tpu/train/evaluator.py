@@ -76,7 +76,7 @@ def evaluate(forward: Callable, params, batch_stats, loader, nc: int, *,
         valid = np.asarray(det.valid)
         targets = np.asarray(batch["targets"])
         tmask = np.asarray(batch["tmask"])
-        B, S = rgb.shape[0], rgb.shape[1]
+        B, H, W = rgb.shape[0], rgb.shape[1], rgb.shape[2]
 
         for si in range(B):
             seen += 1
@@ -86,16 +86,16 @@ def evaluate(forward: Callable, params, batch_stats, loader, nc: int, *,
                 pc = np.zeros_like(pc)
             sel = (targets[:, 0] == si) & (tmask > 0)
             tcls = targets[sel, 1]
-            txywh = targets[sel, 2:6] * np.array([S, S, S, S])
+            txywh = targets[sel, 2:6] * np.array([W, H, W, H])
             tb = np.stack([txywh[:, 0] - txywh[:, 2] / 2,
                            txywh[:, 1] - txywh[:, 3] / 2,
                            txywh[:, 0] + txywh[:, 2] / 2,
                            txywh[:, 1] + txywh[:, 3] / 2], 1) if len(txywh) else \
                 np.zeros((0, 4))
             native_hw, ratio_pad = batch["shapes"][si]
-            pb_n = _rescale_to_native(pb, (S, S), native_hw, ratio_pad) \
+            pb_n = _rescale_to_native(pb, (H, W), native_hw, ratio_pad) \
                 if len(pb) else pb
-            tb_n = _rescale_to_native(tb, (S, S), native_hw, ratio_pad) \
+            tb_n = _rescale_to_native(tb, (H, W), native_hw, ratio_pad) \
                 if len(tb) else tb
             correct = match_predictions(pb_n, pc.astype(float), tb_n,
                                         tcls.astype(float), IOU_THRESHOLDS)

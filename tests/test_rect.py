@@ -1,0 +1,79 @@
+"""Rect-eval shape bucketing tests."""
+
+import numpy as np
+import pytest
+
+from multispectral_object_detection_tpu.data.datasets import (
+    BatchLoader, PairedDetectionDataset)
+from multispectral_object_detection_tpu.data.synthetic import make_paired_dataset
+
+
+@pytest.fixture(scope="module")
+def wide_tall_dataset(tmp_path_factory):
+    """Mixed-aspect synthetic images (some wide, some tall)."""
+    import cv2
+
+    root = tmp_path_factory.mktemp("rect")
+    rgb_dir, ir_dir = make_paired_dataset(str(root), n_images=8, img_size=160,
+                                          nc=1, seed=9)
+    # reshape half the images to non-square aspects
+    from pathlib import Path
+
+    for i, p in enumerate(sorted(Path(rgb_dir).glob("*.jpg"))):
+        img = cv2.imread(str(p))
+        if i % 2 == 0:
+            img = cv2.resize(img, (320, 160))  # wide
+        else:
+            img = cv2.resize(img, (160, 320))  # tall
+        cv2.imwrite(str(p), img)
+        q = Path(ir_dir) / p.name
+        cv2.imwrite(str(q), cv2.resize(cv2.imread(str(q)), (img.shape[1],
+                                                            img.shape[0])))
+    return rgb_dir, ir_dir
+
+
+def test_rect_buckets_and_batches(wide_tall_dataset):
+    rgb_dir, ir_dir = wide_tall_dataset
+    ds = PairedDetectionDataset.from_sources(rgb_dir, ir_dir, img_size=128,
+                                             augment=False, rect=True, pad=0.5)
+    loader = BatchLoader(ds, batch_size=4, shuffle=False, max_labels=20,
+                         drop_last=False, prefetch=False)
+    shapes = set()
+    for b in loader:
+        h, w = b["rgb"].shape[1], b["rgb"].shape[2]
+        assert h % 32 == 0 and w % 32 == 0
+        assert b["rgb"].shape == b["ir"].shape
+        shapes.add((h, w))
+        # labels stay normalized to the batch canvas
+        t = b["targets"][b["tmask"] > 0]
+        if len(t):
+            assert (t[:, 2:] >= 0).all() and (t[:, 2:] <= 1).all()
+    # wide and tall images land in different-shaped batches
+    assert len(shapes) == 2
+    hs = {s[0] for s in shapes}
+    ws = {s[1] for s in shapes}
+    assert max(hs) > min(hs) or max(ws) > min(ws)
+
+
+def test_rect_eval_runs_end_to_end(wide_tall_dataset):
+    import jax
+
+    from multispectral_object_detection_tpu.models import build_model
+    from multispectral_object_detection_tpu.models.configs import yolov5_two_stream
+    from multispectral_object_detection_tpu.train.evaluator import evaluate
+    from multispectral_object_detection_tpu.train.trainer import make_eval_forward
+
+    rgb_dir, ir_dir = wide_tall_dataset
+    ds = PairedDetectionDataset.from_sources(rgb_dir, ir_dir, img_size=128,
+                                             augment=False, rect=True, pad=0.5)
+    loader = BatchLoader(ds, batch_size=4, shuffle=False, max_labels=20,
+                         drop_last=False, prefetch=False)
+    model = build_model(yolov5_two_stream("n", nc=1, fusion="add"))
+    import jax.numpy as jnp
+
+    x = jnp.zeros((1, 128, 128, 3))
+    v = model.init(jax.random.PRNGKey(0), x, x)
+    fwd = make_eval_forward(model, two_stream=True)
+    out = evaluate(fwd, v["params"], v["batch_stats"], loader, nc=1)
+    assert out["seen"] == 8
+    assert np.isfinite(out["map50"])
