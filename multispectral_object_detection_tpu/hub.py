@@ -96,6 +96,29 @@ class DetectionResults:
         return d
 
 
+class Ensemble:
+    """Multi-checkpoint ensemble (reference models/experimental.py:113-134):
+    decoded detections from every member are concatenated before NMS (the
+    reference's default `torch.cat(y, 1)` ensemble mode)."""
+
+    def __init__(self, name_weight_pairs, nc: Optional[int] = None,
+                 dtype=None):
+        self.members = [create(n, nc, w, dtype) for n, w in name_weight_pairs]
+        self.two_stream = self.members[0][0].spec.two_stream
+        self.nc = self.members[0][0].spec.nc
+
+    def decode_all(self, rgb, ir=None):
+        import jax.numpy as jnp
+
+        outs = []
+        for model, params, stats in self.members:
+            ins = (rgb,) if not self.two_stream else (rgb, ir)
+            feats = model.apply({"params": params, "batch_stats": stats},
+                                *ins, train=False)
+            outs.append(model.decode(feats))
+        return jnp.concatenate(outs, axis=1)
+
+
 class Detector:
     """Input-robust detector: file paths or HWC uint8 arrays in, ragged
     native-space detections out (the `autoShape` of common.py:260)."""

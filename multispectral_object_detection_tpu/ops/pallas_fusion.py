@@ -27,6 +27,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _erf(x):
+    """Abramowitz & Stegun 7.1.26 rational erf (|err| < 1.5e-7 — below bf16
+    resolution); Mosaic has no erf/erfc primitive."""
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+                + t * (-1.453152027 + t * 1.061405429))))
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_exact(x):
+    """Exact-form GELU via the polynomial erf (matches torch GELU to ~1e-7)."""
+    xf = x.astype(jnp.float32)
+    return (xf * 0.5 * (1.0 + _erf(xf / jnp.sqrt(jnp.float32(2.0))))).astype(x.dtype)
+
+
 def _ln(x32, scale, bias, eps=1e-6):
     mu = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.mean((x32 - mu) ** 2, axis=-1, keepdims=True)
@@ -34,7 +51,7 @@ def _ln(x32, scale, bias, eps=1e-6):
 
 
 def _kernel(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, w1_ref, b1_ref,
-            w2_ref, b2_ref, ln1_ref, ln2_ref, out_ref, xs_ref, *,
+            w2_ref, b2_ref, ln1_ref, ln2_ref, out_ref, xs_ref, o_ref, *,
             num_heads: int, batch: int, n_tok: int, n_layers: int):
     i = pl.program_id(0)
 
@@ -51,7 +68,8 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, w1_ref, b1_ref,
     qkv = jnp.dot(h, wqkv_ref[0], preferred_element_type=jnp.float32)
     qkv = (qkv + bqkv_ref[0, 0, :].astype(jnp.float32)).astype(x_ref.dtype)
 
-    o = jnp.zeros((batch * n_tok, C), dtype=jnp.float32)
+    # per-(image, head) attention; results stored into a VMEM scratch via
+    # static slices (Mosaic has no scatter primitive)
     for b in range(batch):
         rows = slice(b * n_tok, (b + 1) * n_tok)
         for hh in range(num_heads):
@@ -61,17 +79,16 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, w1_ref, b1_ref,
             logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
             logits = logits / jnp.sqrt(jnp.float32(D))
             att = jax.nn.softmax(logits, axis=-1).astype(x_ref.dtype)
-            o = o.at[rows, hh * D:(hh + 1) * D].set(
-                jnp.dot(att, v, preferred_element_type=jnp.float32))
-    proj = jnp.dot(o.astype(x_ref.dtype), wp_ref[0],
+            o_ref[rows, hh * D:(hh + 1) * D] = jnp.dot(
+                att, v, preferred_element_type=jnp.float32).astype(x_ref.dtype)
+    proj = jnp.dot(o_ref[:], wp_ref[0],
                    preferred_element_type=jnp.float32)
     x = x + proj + bp_ref[0, 0, :].astype(jnp.float32)
 
     # --- MLP sublayer ---
     h2 = _ln(x, ln2_ref[0, 0, :], ln2_ref[0, 1, :]).astype(x_ref.dtype)
     t = jnp.dot(h2, w1_ref[0], preferred_element_type=jnp.float32)
-    t = jax.nn.gelu(t + b1_ref[0, 0, :].astype(jnp.float32),
-                    approximate=False).astype(x_ref.dtype)
+    t = _gelu_exact(t + b1_ref[0, 0, :].astype(jnp.float32)).astype(x_ref.dtype)
     t2 = jnp.dot(t, w2_ref[0], preferred_element_type=jnp.float32)
     x = x + t2 + b2_ref[0, 0, :].astype(jnp.float32)
 
@@ -121,7 +138,8 @@ def fused_cft_stack(x, wqkv, bqkv, wp, bp, w1, b1, w2, b2, ln1, ln2, *,
         out_specs=pl.BlockSpec((B * N, C), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B * N, C), x.dtype),
-        scratch_shapes=[pltpu.VMEM((B * N, C), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((B * N, C), jnp.float32),
+                        pltpu.VMEM((B * N, C), x.dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=interpret,

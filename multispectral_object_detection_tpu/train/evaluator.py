@@ -102,6 +102,14 @@ def evaluate(forward: Callable, params, batch_stats, loader, nc: int, *,
             stats.append((correct, ps, pc.astype(float), list(tcls)))
 
     out = summarize_stats(stats, nc)
+    if nc == 1 and stats:
+        # pedestrian-benchmark log-average miss rate (reference README table)
+        from ..utils.metrics import log_average_miss_rate
+
+        tp50 = np.concatenate([s[0][:, 0] for s in stats])
+        conf = np.concatenate([s[1] for s in stats])
+        n_gt = sum(len(s[3]) for s in stats)
+        out["lamr"] = log_average_miss_rate(tp50, conf, seen, n_gt)
     out["seen"] = seen
     out["t_infer_ms"] = 1000.0 * t_infer / max(seen, 1)
     out["t_nms_ms"] = 1000.0 * t_nms / max(seen, 1)

@@ -137,6 +137,31 @@ def summarize_stats(stats: List[Tuple[np.ndarray, np.ndarray, np.ndarray, list]]
     )
 
 
+def log_average_miss_rate(tp: np.ndarray, conf: np.ndarray, n_images: int,
+                          n_gt: int) -> float:
+    """Log-average miss rate over FPPI in [1e-2, 1] (the LLVIP pedestrian
+    metric in the reference README table; 9 log-spaced reference points).
+
+    tp: (n_pred,) bool at IoU 0.5 (first column of the eval TP matrix),
+    conf-sorted or not (sorted internally).
+    """
+    if n_gt == 0 or tp.size == 0:
+        return 1.0
+    order = np.argsort(-conf)
+    tp = tp[order].astype(float)
+    tpc = np.cumsum(tp)
+    fpc = np.cumsum(1.0 - tp)
+    miss = 1.0 - tpc / n_gt
+    fppi = fpc / max(n_images, 1)
+    refs = np.logspace(-2.0, 0.0, 9)
+    vals = []
+    for r in refs:
+        idx = np.nonzero(fppi <= r)[0]
+        vals.append(miss[idx[-1]] if idx.size else 1.0)
+    vals = np.clip(np.asarray(vals), 1e-10, None)
+    return float(np.exp(np.mean(np.log(vals))))
+
+
 class ConfusionMatrix:
     """IoU-matched detection/GT confusion matrix (utils/metrics.py:111-183)."""
 
