@@ -60,8 +60,10 @@ def main():
     log(f"init: {time.perf_counter() - t0:.1f}s, params = "
         f"{sum(x.size for x in jax.tree.leaves(variables['params'])):,}")
 
-    # inference-time BN folding (the reference's Model.fuse())
-    fused_model = build_model(model.spec, dtype=jnp.bfloat16, fused=True)
+    # inference-time BN folding (the reference's Model.fuse()) + fused
+    # Pallas CFT stack
+    fused_model = build_model(model.spec, dtype=jnp.bfloat16, fused=True,
+                              use_pallas=True)
     params = fuse_conv_bn_params(variables["params"],
                                  variables.get("batch_stats", {}))
     use_nms = not args.no_nms

@@ -23,7 +23,8 @@ from .fusion import CrossModalFusion
 from .parser import ModelSpec, Node, parse_model_config
 
 
-def _build_module(node: Node, dtype, fused: bool = False) -> nn.Module:
+def _build_module(node: Node, dtype, fused: bool = False,
+                  use_pallas: bool = False) -> nn.Module:
     k, a = node.kind, node.args
     if k == "Conv":
         return L.ConvBnAct(c2=a[1], k=a[2] if len(a) > 2 else 1,
@@ -84,7 +85,8 @@ def _build_module(node: Node, dtype, fused: bool = False) -> nn.Module:
     if k == "Add2":
         return L.Add2(index=a[1])
     if k == "GPT":
-        return CrossModalFusion(d_model=a[0], dtype=dtype)
+        return CrossModalFusion(d_model=a[0], dtype=dtype,
+                                use_pallas=use_pallas)
     if k == "Upsample":
         # reference rows: [None, 2, 'nearest']
         scale = a[1] if len(a) > 1 else 2
@@ -102,7 +104,8 @@ class DetectionModel(nn.Module):
 
     spec: ModelSpec
     dtype: Any = jnp.float32
-    fused: bool = False  # BN folded into conv weights (inference only)
+    fused: bool = False       # BN folded into conv weights (inference only)
+    use_pallas: bool = False  # fused Pallas CFT stack (inference only)
 
     def setup(self):
         mods = []
@@ -111,10 +114,12 @@ class DetectionModel(nn.Module):
                 mods.append(Detect(nc=node.args[0], anchors=self.spec.anchors,
                                    strides=self.spec.strides, dtype=self.dtype))
             elif node.repeats > 1:
-                mods.append([_build_module(node, self.dtype, self.fused)
+                mods.append([_build_module(node, self.dtype, self.fused,
+                                           self.use_pallas)
                              for _ in range(node.repeats)])
             else:
-                mods.append(_build_module(node, self.dtype, self.fused))
+                mods.append(_build_module(node, self.dtype, self.fused,
+                                          self.use_pallas))
         self.blocks = mods
 
     def __call__(self, x, x2=None, train: bool = False):
@@ -149,11 +154,13 @@ class DetectionModel(nn.Module):
 
 
 def build_model(cfg, ch_in: int = 3, nc: Optional[int] = None, anchors=None,
-                dtype=jnp.float32, fused: bool = False) -> DetectionModel:
+                dtype=jnp.float32, fused: bool = False,
+                use_pallas: bool = False) -> DetectionModel:
     """YAML path/dict -> DetectionModel (the `Model(cfg)` of yolo_test.py:165)."""
     spec = cfg if isinstance(cfg, ModelSpec) else parse_model_config(
         cfg, ch_in=ch_in, nc=nc, anchors=anchors)
-    return DetectionModel(spec=spec, dtype=dtype, fused=fused)
+    return DetectionModel(spec=spec, dtype=dtype, fused=fused,
+                          use_pallas=use_pallas)
 
 
 def fuse_conv_bn_params(params, batch_stats, eps: float = 1e-3):

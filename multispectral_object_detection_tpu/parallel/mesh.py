@@ -49,19 +49,17 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def _fusion_spec(path_keys, leaf) -> P:
     """Tensor-parallel PartitionSpec for CFT fusion params, replicated
-    otherwise."""
+    otherwise. The fusion stage stores stacked (L, ...) weights:
+    qkv_w/fc1_w column-sharded on the output dim, proj_w/fc2_w row-sharded
+    on the input dim, matching biases sharded with the outputs."""
     keys = [str(getattr(k, "key", getattr(k, "name", k))) for k in path_keys]
-    joined = "/".join(keys)
-    if "block" in joined and leaf.ndim == 2:
-        name = keys[-2] if len(keys) >= 2 else ""
-        if name in ("qkv", "fc1"):
-            return P(None, "model")   # column parallel
-        if name in ("proj", "fc2"):
-            return P("model", None)   # row parallel
-    if "block" in joined and leaf.ndim == 1:
-        name = keys[-2] if len(keys) >= 2 else ""
-        if name in ("qkv", "fc1"):
-            return P("model")
+    name = keys[-1] if keys else ""
+    if name in ("qkv_w", "fc1_w") and leaf.ndim == 3:
+        return P(None, None, "model")   # (L, C_in, C_out): column parallel
+    if name in ("proj_w", "fc2_w") and leaf.ndim == 3:
+        return P(None, "model", None)   # (L, C_in, C_out): row parallel
+    if name in ("qkv_b", "fc1_b") and leaf.ndim == 2:
+        return P(None, "model")
     return P()
 
 
