@@ -176,17 +176,19 @@ def run(args) -> dict:
         best_fitness = meta.get("best_fitness", 0.0)
         logger.info(f"resumed from {args.resume} at epoch {start_epoch}")
     elif args.weights:
+        # shape-matched partial transfer (intersect_dicts semantics,
+        # train.py:517-523): nc/anchor mismatches keep fresh heads
         from ..utils.checkpoint import load_checkpoint as _lc
+        from ..utils.checkpoint import partial_load
+
         raw, _ = _lc(args.weights)
-        from flax import serialization as _ser
-        try:
-            state = state.replace(
-                params=_ser.from_state_dict(state.params, raw["params"]),
-                batch_stats=_ser.from_state_dict(state.batch_stats,
-                                                 raw["batch_stats"]))
-            logger.info(f"warm-started weights from {args.weights}")
-        except Exception as e:  # shape-mismatched transfer: skip cleanly
-            logger.warning(f"warm-start failed ({e}); training from scratch")
+        new_params, n_c, n_t = partial_load(state.params,
+                                            raw.get("params", {}))
+        new_stats, _, _ = partial_load(state.batch_stats,
+                                       raw.get("batch_stats", {}))
+        state = state.replace(params=new_params, batch_stats=new_stats)
+        logger.info(f"warm-start: transferred {n_c}/{n_t} tensors "
+                    f"from {args.weights}")
 
     # ---- mesh / sharding ------------------------------------------------------
     import jax as _jax

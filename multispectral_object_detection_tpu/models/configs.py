@@ -169,10 +169,110 @@ def yolov5_two_stream(scale: str = "l", nc: int = 1,
     }
 
 
+def yolov3(nc: int = 80, spp: bool = False) -> Dict:
+    """YOLOv3(-SPP) in the same DSL (reference models/hub/yolov3*.yaml)."""
+    backbone = [
+        [-1, 1, "Conv", [32, 3, 1]],      # 0
+        [-1, 1, "Conv", [64, 3, 2]],      # 1 P1/2
+        [-1, 1, "Bottleneck", [64]],
+        [-1, 1, "Conv", [128, 3, 2]],     # 3 P2/4
+        [-1, 2, "Bottleneck", [128]],
+        [-1, 1, "Conv", [256, 3, 2]],     # 5 P3/8
+        [-1, 8, "Bottleneck", [256]],
+        [-1, 1, "Conv", [512, 3, 2]],     # 7 P4/16
+        [-1, 8, "Bottleneck", [512]],
+        [-1, 1, "Conv", [1024, 3, 2]],    # 9 P5/32
+        [-1, 4, "Bottleneck", [1024]],    # 10
+    ]
+    head = [
+        [-1, 1, "Bottleneck", [1024, False]],
+        ([-1, 1, "SPP", [512, [5, 9, 13]]] if spp
+         else [-1, 1, "Conv", [512, [1, 1]]]),
+        [-1, 1, "Conv", [1024, 3, 1]],
+        [-1, 1, "Conv", [512, 1, 1]],
+        [-1, 1, "Conv", [1024, 3, 1]],    # 15 P5/32-large
+        [-2, 1, "Conv", [256, 1, 1]],
+        [-1, 1, "nn.Upsample", ["None", 2, "nearest"]],
+        [[-1, 8], 1, "Concat", [1]],
+        [-1, 1, "Bottleneck", [512, False]],
+        [-1, 1, "Bottleneck", [512, False]],
+        [-1, 1, "Conv", [256, 1, 1]],
+        [-1, 1, "Conv", [512, 3, 1]],     # 22 P4/16-medium
+        [-2, 1, "Conv", [128, 1, 1]],
+        [-1, 1, "nn.Upsample", ["None", 2, "nearest"]],
+        [[-1, 6], 1, "Concat", [1]],
+        [-1, 1, "Bottleneck", [256, False]],
+        [-1, 2, "Bottleneck", [256, False]],  # 27 P3/8-small
+        [[27, 22, 15], 1, "Detect", ["nc", "anchors"]],
+    ]
+    return {
+        "nc": nc, "depth_multiple": 1.0, "width_multiple": 1.0,
+        "anchors": [[10, 13, 16, 30, 33, 23],
+                    [30, 61, 62, 45, 59, 119],
+                    [116, 90, 156, 198, 373, 326]],
+        "backbone": backbone, "head": head,
+    }
+
+
+def yolov5_p6(scale: str = "s", nc: int = 80) -> Dict:
+    """4-scale P3-P6 variant (reference models/hub/yolov5{s,m,l,x}6.yaml)."""
+    gd, gw = SCALES[scale]
+    backbone = [
+        [-1, 1, "Focus", [64, 3]],          # 0 P1/2
+        [-1, 1, "Conv", [128, 3, 2]],       # 1 P2/4
+        [-1, 3, "C3", [128]],
+        [-1, 1, "Conv", [256, 3, 2]],       # 3 P3/8
+        [-1, 9, "C3", [256]],
+        [-1, 1, "Conv", [512, 3, 2]],       # 5 P4/16
+        [-1, 9, "C3", [512]],
+        [-1, 1, "Conv", [768, 3, 2]],       # 7 P5/32
+        [-1, 3, "C3", [768]],
+        [-1, 1, "Conv", [1024, 3, 2]],      # 9 P6/64
+        [-1, 1, "SPP", [1024, [3, 5, 7]]],
+        [-1, 3, "C3", [1024, False]],       # 11
+    ]
+    head = [
+        [-1, 1, "Conv", [768, 1, 1]],                    # 12
+        [-1, 1, "nn.Upsample", ["None", 2, "nearest"]],
+        [[-1, 8], 1, "Concat", [1]],
+        [-1, 3, "C3", [768, False]],                     # 15
+        [-1, 1, "Conv", [512, 1, 1]],                    # 16
+        [-1, 1, "nn.Upsample", ["None", 2, "nearest"]],
+        [[-1, 6], 1, "Concat", [1]],
+        [-1, 3, "C3", [512, False]],                     # 19
+        [-1, 1, "Conv", [256, 1, 1]],                    # 20
+        [-1, 1, "nn.Upsample", ["None", 2, "nearest"]],
+        [[-1, 4], 1, "Concat", [1]],
+        [-1, 3, "C3", [256, False]],                     # 23 P3
+        [-1, 1, "Conv", [256, 3, 2]],
+        [[-1, 20], 1, "Concat", [1]],
+        [-1, 3, "C3", [512, False]],                     # 26 P4
+        [-1, 1, "Conv", [512, 3, 2]],
+        [[-1, 16], 1, "Concat", [1]],
+        [-1, 3, "C3", [768, False]],                     # 29 P5
+        [-1, 1, "Conv", [768, 3, 2]],
+        [[-1, 12], 1, "Concat", [1]],
+        [-1, 3, "C3", [1024, False]],                    # 32 P6
+        [[23, 26, 29, 32], 1, "Detect", ["nc", "anchors"]],
+    ]
+    return {
+        "nc": nc, "depth_multiple": gd, "width_multiple": gw,
+        "anchors": [[19, 27, 44, 40, 38, 94],
+                    [96, 68, 86, 152, 180, 137],
+                    [140, 301, 303, 264, 238, 542],
+                    [436, 615, 739, 380, 925, 792]],
+        "backbone": backbone, "head": head,
+    }
+
+
 def get_config(name: str, nc: int | None = None) -> Dict:
     """Resolve a config by name, e.g. 'yolov5s', 'yolov5l_fusion_transformerx3',
     'yolov5s_fusion_add'."""
     name = name.lower().replace(".yaml", "")
+    if name.startswith("yolov3"):
+        return yolov3(nc=80 if nc is None else nc, spp="spp" in name)
+    if name.endswith("6") and name.startswith("yolov5"):
+        return yolov5_p6(scale=name[6], nc=80 if nc is None else nc)
     if "_fusion_" in name:
         base, fus = name.split("_fusion_", 1)
         scale = base[-1]

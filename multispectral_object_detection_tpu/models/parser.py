@@ -213,6 +213,9 @@ def parse_model_config(cfg, ch_in: int = 3, nc: Optional[int] = None,
         else:  # Upsample and other pass-throughs
             c1 = c2 = ch[frm[0]]
 
+        # normalize negative refs (other than -1 prev / -4 IR input) to
+        # absolute row indices, like the reference's `x % i` (yolo_test.py:547)
+        frm = tuple(x if (x in (-1, -4) or x >= 0) else i + x for x in frm)
         nodes.append(Node(index=i, frm=frm, repeats=reps, kind=kind,
                           args=_to_tuple(args), c1=c1, c2=c2,
                           multi=isinstance(f, (list, tuple))))

@@ -42,6 +42,7 @@ class LossHyp:
     obj_pw: float = 1.0
     anchor_t: float = 4.0
     fl_gamma: float = 0.0
+    qfl: bool = False  # quality focal (loss.py:62) instead of focal
     label_smoothing: float = 0.0
     gr: float = 1.0  # iou-ratio for objectness targets (train.py:680)
 
@@ -60,6 +61,13 @@ def _focal_scale(logits, targets, gamma: float, alpha: float = 0.25):
     p_t = targets * p + (1.0 - targets) * (1.0 - p)
     alpha_factor = targets * alpha + (1.0 - targets) * (1.0 - alpha)
     return alpha_factor * (1.0 - p_t) ** gamma
+
+
+def _qfocal_scale(logits, targets, gamma: float, alpha: float = 0.25):
+    """Quality focal modulation (utils/loss.py:62-85)."""
+    p = jax.nn.sigmoid(logits)
+    alpha_factor = targets * alpha + (1.0 - targets) * (1.0 - alpha)
+    return alpha_factor * jnp.abs(targets - p) ** gamma
 
 
 def _masked_mean(x, mask, axis=None):
@@ -119,7 +127,8 @@ class DetectionLoss:
             tobj = tobj.at[b, gj, gi, a].max(val)
             obj_losses = _bce_logits(f[..., 4], tobj, h.obj_pw)
             if h.fl_gamma > 0:
-                obj_losses = obj_losses * _focal_scale(f[..., 4], tobj, h.fl_gamma)
+                scale = _qfocal_scale if h.qfl else _focal_scale
+                obj_losses = obj_losses * scale(f[..., 4], tobj, h.fl_gamma)
             lobj = lobj + jnp.mean(obj_losses) * self.balance[i]
 
             # --- classification ---
@@ -128,7 +137,8 @@ class DetectionLoss:
                     asg.cls, self.nc, dtype=jnp.float32)
                 cls_losses = _bce_logits(ps[:, 5:], t_cls, h.cls_pw)
                 if h.fl_gamma > 0:
-                    cls_losses = cls_losses * _focal_scale(ps[:, 5:], t_cls, h.fl_gamma)
+                    scale = _qfocal_scale if h.qfl else _focal_scale
+                    cls_losses = cls_losses * scale(ps[:, 5:], t_cls, h.fl_gamma)
                 lcls = lcls + _masked_mean(
                     jnp.mean(cls_losses, axis=-1), asg.mask)
 

@@ -66,6 +66,32 @@ def load_checkpoint(path: str, state=None):
     return new, meta
 
 
+def partial_load(target_tree, source_tree):
+    """Shape-matched partial parameter transfer — the `intersect_dicts` of
+    utils/torch_utils.py:138 used for warm-starting (train.py:517-523).
+
+    Copies every leaf whose path exists in `source_tree` with an identical
+    shape; everything else keeps the freshly-initialized value. Returns
+    (merged_tree, n_copied, n_total).
+    """
+    n_copied = 0
+    n_total = 0
+
+    def walk(t, s):
+        nonlocal n_copied, n_total
+        if isinstance(t, dict):
+            return {k: walk(v, s.get(k) if isinstance(s, dict) else None)
+                    for k, v in t.items()}
+        n_total += 1
+        if s is not None and getattr(s, "shape", None) == t.shape:
+            n_copied += 1
+            return np.asarray(s).astype(t.dtype) if hasattr(t, "dtype") else s
+        return t
+
+    merged = walk(target_tree, source_tree or {})
+    return merged, n_copied, n_total
+
+
 def strip_checkpoint(path: str, out_path: Optional[str] = None):
     """Finalize for inference: keep EMA params + stats only (halves size)."""
     p = Path(path)

@@ -33,6 +33,20 @@ def test_cft_transformerx3_l_param_count_matches_reference():
     assert n_params(shapes["params"]) == 206247222
 
 
+def test_hub_config_param_counts_match_reference():
+    """yolov3 / yolov3-spp / yolov5s6 counts verified against the reference
+    hub YAMLs under torch (models/yolo.py Model)."""
+    from multispectral_object_detection_tpu.models.configs import (
+        yolov3, yolov5_p6)
+
+    for cfg, want in [(yolov3(), 61949149), (yolov3(spp=True), 62998749),
+                      (yolov5_p6("s"), 12667836)]:
+        m = build_model(cfg)
+        shapes = jax.eval_shape(m.init, jax.random.PRNGKey(0),
+                                jnp.zeros((1, 128, 128, 3)))
+        assert n_params(shapes["params"]) == want
+
+
 def test_single_stream_forward_shapes():
     m = build_model(yolov5("s"))
     x = jnp.zeros((2, 64, 64, 3))
