@@ -54,6 +54,8 @@ def parse_args(argv=None):
                     help="tensor-parallel axis size for the CFT blocks")
     ap.add_argument("--evolve", type=int, default=0, metavar="N",
                     help="evolve hyperparameters for N generations")
+    ap.add_argument("--noautoanchor", action="store_true",
+                    help="skip the anchor BPR audit / re-clustering")
     return ap.parse_args(argv)
 
 
@@ -101,22 +103,39 @@ def run(args) -> dict:
     (save_dir / "hyp.yaml").write_text(yaml.safe_dump(hyp))
     (save_dir / "opt.yaml").write_text(yaml.safe_dump(vars(args)))
 
-    # ---- model -------------------------------------------------------------
-    dtype = jnp.float32 if args.fp32 else jnp.bfloat16
-    cfg = args.cfg if args.cfg.endswith((".yaml", ".yml")) else \
-        get_config(args.cfg, nc=nc)
-    model = build_model(cfg, nc=nc, dtype=dtype)
-    spec = model.spec
-    assert spec.two_stream == two_stream, (
-        f"model two_stream={spec.two_stream} but dataset "
-        f"{'has' if two_stream else 'lacks'} an IR split")
-
     # ---- data --------------------------------------------------------------
     train_ds = PairedDetectionDataset.from_sources(
         data["train_rgb"] if two_stream else data["train"],
         data.get("train_ir"), img_size=img_size, augment=True, hyp=hyp,
         nc=nc if not args.single_cls else None,
         cache_dir=str(save_dir / "cache"))
+
+    # ---- model -------------------------------------------------------------
+    dtype = jnp.float32 if args.fp32 else jnp.bfloat16
+    cfg = args.cfg if args.cfg.endswith((".yaml", ".yml")) else \
+        get_config(args.cfg, nc=nc)
+    anchors_override = None
+    if not args.noautoanchor:
+        # BPR audit + optional re-cluster on the train labels (train.py:652)
+        import numpy as _np
+
+        from ..models.parser import parse_model_config
+        from ..utils.autoanchor import check_anchors
+
+        spec0 = parse_model_config(cfg, nc=nc)
+        anc0 = _np.asarray(spec0.anchors, dtype=_np.float32).reshape(
+            spec0.nl, -1, 2)
+        anc1 = check_anchors(train_ds.labels, anc0, img_size,
+                             thr=hyp["anchor_t"])
+        if not _np.allclose(anc0, anc1):
+            anchors_override = [[float(v) for v in a.reshape(-1)]
+                                for a in anc1]
+            logger.info("autoanchor: anchors updated")
+    model = build_model(cfg, nc=nc, dtype=dtype, anchors=anchors_override)
+    spec = model.spec
+    assert spec.two_stream == two_stream, (
+        f"model two_stream={spec.two_stream} but dataset "
+        f"{'has' if two_stream else 'lacks'} an IR split")
     if args.single_cls:
         for l in train_ds.labels:
             if len(l):

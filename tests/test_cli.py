@@ -32,7 +32,7 @@ def test_train_test_detect_cli(workspace):
         "--cfg", "yolov5n_fusion_add", "--data", data_yaml,
         "--epochs", "3", "--batch-size", "4", "--img-size", "128",
         "--project", str(root / "runs"), "--name", "exp", "--fp32",
-        "--max-labels", "30", "--hyp", "scratch",
+        "--max-labels", "30", "--hyp", "scratch", "--noautoanchor",
     ])
     run_dir = root / "runs" / "exp"
     assert (run_dir / "last" / "state.msgpack").exists()
@@ -72,13 +72,13 @@ def test_resume_roundtrip(workspace):
         "--cfg", "yolov5n_fusion_add", "--data", data_yaml,
         "--epochs", "2", "--batch-size", "4", "--img-size", "128",
         "--project", str(root / "runs2"), "--name", "exp", "--fp32",
-        "--max-labels", "30", "--noval",
+        "--max-labels", "30", "--noval", "--noautoanchor",
     ])
     res = train_main([
         "--cfg", "yolov5n_fusion_add", "--data", data_yaml,
         "--epochs", "4", "--batch-size", "4", "--img-size", "128",
         "--project", str(root / "runs2"), "--name", "exp2", "--fp32",
-        "--max-labels", "30", "--noval",
+        "--max-labels", "30", "--noval", "--noautoanchor",
         "--resume", str(root / "runs2" / "exp" / "last"),
     ])
     meta = json.loads((root / "runs2" / "exp2" / "last" / "meta.json").read_text())
