@@ -138,6 +138,47 @@ def yolov5_two_stream(scale: str = "l", nc: int = 1,
             [[16, 19], 1, "Add", [1]],          # 22: fused P5
         ]
         p3, p4, p5 = 20, 21, 22
+    elif fusion == "transformer":
+        # 4 CFT stages at P2/P3/P4/P5 (reference
+        # models/transformer/yolov5l_fusion_transformer_llvip.yaml)
+        b = [
+            [-1, 1, "Focus", [64, 3]],          # 0
+            [-1, 1, "Conv", [128, 3, 2]],       # 1 P2/4
+            [-1, 3, "C3", [128]],               # 2
+            [-4, 1, "Focus", [64, 3]],          # 3
+            [-1, 1, "Conv", [128, 3, 2]],       # 4
+            [-1, 3, "C3", [128]],               # 5
+            [[2, 5], 1, "GPT", [128]],          # 6: CFT @ P2
+            [[2, 6], 1, "Add2", [128, 0]],      # 7
+            [[5, 6], 1, "Add2", [128, 1]],      # 8
+            [7, 1, "Conv", [256, 3, 2]],        # 9 P3/8
+            [-1, 9, "C3", [256]],               # 10
+            [8, 1, "Conv", [256, 3, 2]],        # 11
+            [-1, 9, "C3", [256]],               # 12
+            [[10, 12], 1, "GPT", [256]],        # 13: CFT @ P3
+            [[10, 13], 1, "Add2", [256, 0]],    # 14
+            [[12, 13], 1, "Add2", [256, 1]],    # 15
+            [14, 1, "Conv", [512, 3, 2]],       # 16 P4/16
+            [-1, 9, "C3", [512]],               # 17
+            [15, 1, "Conv", [512, 3, 2]],       # 18
+            [-1, 9, "C3", [512]],               # 19
+            [[17, 19], 1, "GPT", [512]],        # 20: CFT @ P4
+            [[17, 20], 1, "Add2", [512, 0]],    # 21
+            [[19, 20], 1, "Add2", [512, 1]],    # 22
+            [-2, 1, "Conv", [1024, 3, 2]],      # 23 P5/32 (from 21, like ref)
+            [-1, 1, "SPP", [1024, [5, 9, 13]]], # 24
+            [-1, 3, "C3", [1024, False]],       # 25
+            [22, 1, "Conv", [1024, 3, 2]],      # 26
+            [-1, 1, "SPP", [1024, [5, 9, 13]]], # 27
+            [-1, 3, "C3", [1024, False]],       # 28
+            [[25, 28], 1, "GPT", [1024]],       # 29: CFT @ P5
+            [[25, 29], 1, "Add2", [1024, 0]],   # 30
+            [[28, 29], 1, "Add2", [1024, 1]],   # 31
+            [[14, 15], 1, "Add", [1]],          # 32: fused P3
+            [[21, 22], 1, "Add", [1]],          # 33: fused P4
+            [[30, 31], 1, "Add", [1]],          # 34: fused P5
+        ]
+        p3, p4, p5 = 32, 33, 34
     else:
         raise ValueError(f"unknown fusion kind: {fusion}")
 
@@ -276,7 +317,7 @@ def get_config(name: str, nc: int | None = None) -> Dict:
     if "_fusion_" in name:
         base, fus = name.split("_fusion_", 1)
         scale = base[-1]
-        fus = {"transformerx3": "transformerx3", "transformer": "transformerx3",
+        fus = {"transformerx3": "transformerx3", "transformer": "transformer",
                "add": "add"}.get(fus.split("_")[0], fus)
         return yolov5_two_stream(scale=scale, nc=1 if nc is None else nc, fusion=fus)
     scale = name[-1]

@@ -64,6 +64,24 @@ def test_train_test_detect_cli(workspace):
     assert any(det_dir.glob("*_rgb.jpg"))
 
 
+def test_single_stream_cli(workspace, tmp_path):
+    """The legacy single-stream path (reference train.py:45 train())."""
+    root, data_yaml = workspace
+    rgb_dir = yaml.safe_load(Path(data_yaml).read_text())["train_rgb"]
+    ss_yaml = tmp_path / "ss.yaml"
+    ss_yaml.write_text(yaml.safe_dump({
+        "train": rgb_dir, "val": rgb_dir, "nc": 2, "names": ["red", "blue"]}))
+    from multispectral_object_detection_tpu.cli.train_cli import main as train_main
+
+    res = train_main([
+        "--cfg", "yolov5n", "--data", str(ss_yaml),
+        "--epochs", "2", "--batch-size", "4", "--img-size", "128",
+        "--project", str(tmp_path / "runs"), "--name", "exp", "--fp32",
+        "--max-labels", "30", "--noautoanchor",
+    ])
+    assert np.isfinite(res["map50"])
+
+
 def test_resume_roundtrip(workspace):
     root, data_yaml = workspace
     from multispectral_object_detection_tpu.cli.train_cli import main as train_main

@@ -33,6 +33,15 @@ def test_cft_transformerx3_l_param_count_matches_reference():
     assert n_params(shapes["params"]) == 206247222
 
 
+def test_fusion_transformer_4stage_param_count_matches_reference():
+    """4-stage P2-P5 CFT variant == 207,850,038 (verified vs the reference
+    yolov5l_fusion_transformer_llvip.yaml under torch)."""
+    m = build_model(yolov5_two_stream("l", nc=1, fusion="transformer"))
+    shapes = jax.eval_shape(m.init, jax.random.PRNGKey(0),
+                            jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3)))
+    assert n_params(shapes["params"]) == 207850038
+
+
 def test_hub_config_param_counts_match_reference():
     """yolov3 / yolov3-spp / yolov5s6 counts verified against the reference
     hub YAMLs under torch (models/yolo.py Model)."""
