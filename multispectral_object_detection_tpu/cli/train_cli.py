@@ -56,6 +56,10 @@ def parse_args(argv=None):
                     help="evolve hyperparameters for N generations")
     ap.add_argument("--noautoanchor", action="store_true",
                     help="skip the anchor BPR audit / re-clustering")
+    ap.add_argument("--multi-scale", action="store_true",
+                    help="vary train image size +/-50%% per batch over a "
+                         "stride-64 ladder (train.py:747; each size is one "
+                         "cached XLA program)")
     return ap.parse_args(argv)
 
 
@@ -239,6 +243,31 @@ def run(args) -> dict:
         except Exception as e:
             logger.warning(f"label plot failed: {e}")
 
+    # multi-scale ladder: 0.5x-1.5x in 64px steps (stride-safe), each size a
+    # cached compilation of the same train step
+    import random as _random
+
+    ms_rng = _random.Random(args.seed + 7)
+    if args.multi_scale:
+        lo = max(64, (int(img_size * 0.5) // 64) * 64)
+        hi = (int(img_size * 1.5) // 64) * 64
+        ms_ladder = list(range(lo, hi + 1, 64))
+        from ..ops.attention import _bilinear_matrix
+
+        @jax.jit
+        def _resize_u8(imgs, av, ah):
+            x = imgs.astype(jnp.float32)
+            x = jnp.einsum("oh,bhwc->bowc", av, x)
+            x = jnp.einsum("ow,bhwc->bhoc", ah, x)
+            return jnp.clip(jnp.round(x), 0, 255).astype(jnp.uint8)
+
+        def ms_resize(arr, sz):
+            if sz == arr.shape[1]:
+                return arr
+            av = jnp.asarray(_bilinear_matrix(arr.shape[1], sz))
+            ah = jnp.asarray(_bilinear_matrix(arr.shape[2], sz))
+            return _resize_u8(jnp.asarray(arr), av, ah)
+
     results_file = save_dir / "results.txt"
     key = jax.random.PRNGKey(args.seed + 1)
     final = {}
@@ -254,8 +283,14 @@ def run(args) -> dict:
                            data.get("names"))
                 plotted += 1
             key, sk = jax.random.split(key)
-            rgb = jax.device_put(batch["rgb"], data_shard)
-            ir = jax.device_put(batch.get("ir", batch["rgb"]), data_shard)
+            rgb_np = batch["rgb"]
+            ir_np = batch.get("ir", batch["rgb"])
+            if args.multi_scale:
+                sz = ms_rng.choice(ms_ladder)
+                rgb_np = ms_resize(rgb_np, sz)
+                ir_np = ms_resize(ir_np, sz)
+            rgb = jax.device_put(rgb_np, data_shard)
+            ir = jax.device_put(ir_np, data_shard)
             state, m = step(state, rgb, ir, jnp.asarray(batch["targets"]),
                             jnp.asarray(batch["tmask"]), sk)
             agg += np.array([float(m["box"]), float(m["obj"]),
