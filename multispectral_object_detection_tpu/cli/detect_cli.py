@@ -93,15 +93,31 @@ def run(args) -> dict:
                            agnostic=args.agnostic_nms, max_det=args.max_det,
                            top_k=1024, class_mask=class_mask)
 
-    files1 = list_images(args.source1)
-    files2 = list_images(args.source2) if args.source2 else files1
-    assert len(files1) == len(files2), "paired sources must align"
+    from ..data.sources import VID_EXTS, MediaSource
+
+    is_video = Path(args.source1).suffix.lower() in VID_EXTS or \
+        str(args.source1).isnumeric() or \
+        str(args.source1).lower().startswith(("rtsp://", "rtmp://", "http"))
+    if is_video:
+        # paired (or single) video / webcam / stream inference
+        src1 = iter(MediaSource(args.source1))
+        src2 = iter(MediaSource(args.source2)) if args.source2 else None
+        frames = zip(src1, src2) if src2 else ((a, a) for a in src1)
+        pairs = (((n1, f1[:, :, ::-1].copy()), (n2, f2[:, :, ::-1].copy()))
+                 for (n1, f1, _), (n2, f2, _) in frames)
+    else:
+        files1 = list_images(args.source1)
+        files2 = list_images(args.source2) if args.source2 else files1
+        assert len(files1) == len(files2), "paired sources must align"
+        pairs = (((p1, cv2.imread(p1)), (p2, cv2.imread(p2)))
+                 for p1, p2 in zip(files1, files2))
 
     n_det_total = 0
+    n_frames = 0
     t_sum = 0.0
-    for p1, p2 in zip(files1, files2):
-        im0 = cv2.imread(p1)
-        ir0 = cv2.imread(p2)
+    writer = None
+    for (p1, im0), (p2, ir0) in pairs:
+        n_frames += 1
         rgb, ratio, pad = letterbox(im0[:, :, ::-1], (s, s), auto=False)
         ir, _, _ = letterbox(ir0[:, :, ::-1], (s, s), auto=False)
         t0 = time.perf_counter()
@@ -122,7 +138,7 @@ def run(args) -> dict:
         boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, im0.shape[0])
         n_det_total += len(boxes)
 
-        stem = Path(p1).stem
+        stem = Path(p1).stem if not is_video else f"frame{n_frames:06d}"
         if args.save_txt:
             h0, w0 = im0.shape[:2]
             lines = []
@@ -142,13 +158,23 @@ def run(args) -> dict:
                     cv2.putText(img, f"{names[int(c)]} {sc:.2f}",
                                 (int(b[0]), int(b[1]) - 4),
                                 cv2.FONT_HERSHEY_SIMPLEX, 0.6, color, 2)
-            cv2.imwrite(str(save_dir / f"{stem}_rgb.jpg"), im0)
-            cv2.imwrite(str(save_dir / f"{stem}_ir.jpg"), ir0)
+            if is_video:
+                if writer is None:
+                    writer = cv2.VideoWriter(
+                        str(save_dir / "output.mp4"),
+                        cv2.VideoWriter_fourcc(*"mp4v"), 25,
+                        (im0.shape[1], im0.shape[0]))
+                writer.write(im0)
+            else:
+                cv2.imwrite(str(save_dir / f"{stem}_rgb.jpg"), im0)
+                cv2.imwrite(str(save_dir / f"{stem}_ir.jpg"), ir0)
 
-    fps = len(files1) / t_sum if t_sum > 0 else 0.0
-    logger.info(f"{len(files1)} pairs, {n_det_total} detections, "
+    if writer is not None:
+        writer.release()
+    fps = n_frames / t_sum if t_sum > 0 else 0.0
+    logger.info(f"{n_frames} pairs, {n_det_total} detections, "
                 f"{fps:.1f} FPS -> {save_dir}")
-    return {"n_images": len(files1), "n_det": n_det_total, "fps": fps}
+    return {"n_images": n_frames, "n_det": n_det_total, "fps": fps}
 
 
 def main(argv=None):

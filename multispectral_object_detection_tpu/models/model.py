@@ -175,8 +175,6 @@ def fuse_conv_bn_params(params, batch_stats, eps: float = 1e-3):
     consumed. Subtrees without a conv/bn pair pass through unchanged (their
     BN, if any, stays live — only ConvBnAct-style pairs are folded).
     """
-    import numpy as _np
-
     def walk(p, s):
         if not isinstance(p, dict):
             return p

@@ -19,7 +19,6 @@ the two in interpret mode on CPU and the TPU path validates at runtime.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
