@@ -71,8 +71,23 @@ def _suppress(boxes, scores, iou_thres: float, max_det: int):
 
 def _nms_single(pred, conf_thres: float, iou_thres: float, nc: int,
                 multi_label: bool, agnostic: bool, max_det: int, top_k: int,
-                class_mask: Optional[jnp.ndarray]):
-    """One image: pred (N, 5+nc) decoded [xywh, obj, cls...] -> Detections."""
+                class_mask: Optional[jnp.ndarray],
+                labels: Optional[jnp.ndarray] = None,
+                labels_mask: Optional[jnp.ndarray] = None):
+    """One image: pred (N, 5+nc) decoded [xywh, obj, cls...] -> Detections.
+
+    labels: optional (M, 5) [cls, x, y, w, h] prior labels injected as
+    unit-confidence candidates (the `save_hybrid` autolabelling path,
+    general.py:483-489)."""
+    if labels is not None:
+        m = labels.shape[0]
+        lab_rows = jnp.zeros((m, pred.shape[1]), pred.dtype)
+        lab_rows = lab_rows.at[:, :4].set(labels[:, 1:5])
+        lab_rows = lab_rows.at[:, 4].set(jnp.where(labels_mask > 0, 1.0, 0.0))
+        cls_onehot = jax.nn.one_hot(labels[:, 0].astype(jnp.int32), nc,
+                                    dtype=pred.dtype)
+        lab_rows = lab_rows.at[:, 5:].set(cls_onehot)
+        pred = jnp.concatenate([pred, lab_rows], axis=0)
     obj = pred[:, 4]
     boxes_xyxy = xywh_to_xyxy(pred[:, :4])
 
@@ -125,11 +140,14 @@ def _nms_single(pred, conf_thres: float, iou_thres: float, nc: int,
 def batched_nms(pred, *, conf_thres: float = 0.25, iou_thres: float = 0.45,
                 nc: Optional[int] = None, multi_label: bool = False,
                 agnostic: bool = False, max_det: int = 300,
-                top_k: int = 4096, class_mask=None) -> Detections:
+                top_k: int = 4096, class_mask=None, labels=None,
+                labels_mask=None) -> Detections:
     """Batched NMS on decoded predictions (B, N, 5+nc).
 
     class_mask: optional (nc,) bool array — keep only these classes (the
     reference's `classes` filter, general.py:510-511).
+    labels/labels_mask: optional (B, M, 5)/(B, M) prior labels for the
+    autolabelling (`save_hybrid`) path.
     """
     if nc is None:
         nc = pred.shape[-1] - 5
@@ -137,4 +155,8 @@ def batched_nms(pred, *, conf_thres: float = 0.25, iou_thres: float = 0.45,
                            iou_thres=iou_thres, nc=nc, multi_label=multi_label,
                            agnostic=agnostic, max_det=max_det, top_k=top_k,
                            class_mask=class_mask)
+    if labels is not None:
+        return jax.vmap(fn)(pred.astype(jnp.float32),
+                            labels=labels.astype(jnp.float32),
+                            labels_mask=labels_mask)
     return jax.vmap(fn)(pred.astype(jnp.float32))

@@ -162,3 +162,19 @@ def test_summarize_stats_and_fitness():
     assert out["nt"].tolist() == [30, 30, 30]
     f = fitness(out["mp"], out["mr"], out["map50"], out["map"])
     assert 0.0 < f < 1.0
+
+
+def test_nms_hybrid_labels_injected():
+    """save_hybrid: GT labels enter as unit-confidence candidates."""
+    pred = np.zeros((1, 4, 7), dtype=np.float32)  # all below conf
+    labels = np.zeros((1, 2, 5), dtype=np.float32)
+    labels[0, 0] = [1, 100, 100, 40, 40]
+    labels[0, 1] = [0, 300, 300, 60, 60]
+    lm = np.array([[1.0, 1.0]], dtype=np.float32)
+    det = batched_nms(jnp.asarray(pred), conf_thres=0.25, iou_thres=0.5,
+                      multi_label=False, max_det=10, top_k=16,
+                      labels=jnp.asarray(labels), labels_mask=jnp.asarray(lm))
+    v = np.asarray(det.valid[0])
+    assert int(v.sum()) == 2
+    assert set(np.asarray(det.classes[0])[v].tolist()) == {0, 1}
+    np.testing.assert_allclose(np.asarray(det.scores[0])[v], 1.0, atol=1e-6)
