@@ -32,7 +32,7 @@ from ..ops.attention import adaptive_avg_pool_2d, bilinear_resize_2d
 _INIT = nn.initializers.normal(stddev=0.02)
 
 
-def _ln(x, scale, bias, eps: float = 1e-6):
+def _ln(x, scale, bias, eps: float = 1e-5):  # torch LayerNorm default eps
     xf = x.astype(jnp.float32)
     mu = xf.mean(-1, keepdims=True)
     var = ((xf - mu) ** 2).mean(-1, keepdims=True)
@@ -56,7 +56,7 @@ class FusionBlock(nn.Module):
         b, n, c = x.shape
         nh = self.num_heads
         d = c // nh
-        h = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32,
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32,
                          name="ln_in")(x.astype(jnp.float32)).astype(self.dtype)
         qkv = nn.Dense(3 * self.d_model, kernel_init=_INIT, dtype=self.dtype,
                        param_dtype=jnp.float32, name="qkv")(h)
@@ -75,7 +75,7 @@ class FusionBlock(nn.Module):
                      param_dtype=jnp.float32, name="proj")(a)
         a = nn.Dropout(self.resid_drop)(a, deterministic=not train)
         x = x + a
-        h = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32,
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32,
                          name="ln_out")(x.astype(jnp.float32)).astype(self.dtype)
         h = nn.Dense(self.block_exp * self.d_model, kernel_init=_INIT,
                      dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(h)

@@ -43,7 +43,7 @@ def _gelu_exact(x):
     return (xf * 0.5 * (1.0 + _erf(xf / jnp.sqrt(jnp.float32(2.0))))).astype(x.dtype)
 
 
-def _ln(x32, scale, bias, eps=1e-6):
+def _ln(x32, scale, bias, eps=1e-5):  # torch LayerNorm default eps
     mu = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.mean((x32 - mu) ** 2, axis=-1, keepdims=True)
     return (x32 - mu) * jax.lax.rsqrt(var + eps) * scale + bias
