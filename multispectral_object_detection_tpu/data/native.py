@@ -13,7 +13,7 @@ import logging
 import os
 import subprocess
 from pathlib import Path
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

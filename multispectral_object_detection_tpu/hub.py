@@ -9,7 +9,7 @@ inputs with letterboxing, NMS and coordinate rescale handled internally.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import List, Optional, Sequence, Union
+from typing import List, Optional, Sequence
 
 import numpy as np
 

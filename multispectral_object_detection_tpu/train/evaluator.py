@@ -10,7 +10,7 @@ and PR accumulation are cheap host numpy.
 from __future__ import annotations
 
 import time
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict
 
 import jax
 import numpy as np

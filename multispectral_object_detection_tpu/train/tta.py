@@ -11,9 +11,6 @@ Static shapes: each scale is its own jitted program (3 compilations, cached).
 
 from __future__ import annotations
 
-from typing import Callable, Optional
-
-import jax
 import jax.numpy as jnp
 
 from ..ops.attention import bilinear_resize_2d

@@ -9,7 +9,7 @@ from the 6th entry of the 10-threshold IoU vector.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 
