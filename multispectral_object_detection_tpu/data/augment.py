@@ -31,11 +31,34 @@ import numpy as np
 PAD_COLOR = (114, 114, 114)
 
 
+import os as _os
+
+_USE_NATIVE = _os.environ.get("MSOD_NATIVE", "0") == "1"
+
+
+def _native_mod():
+    from . import native
+
+    return native if native.available() else None
+
+
 def load_scaled(path: str, img_size: int) -> Tuple[np.ndarray, Tuple[int, int]]:
     """Decode and resize so the longest side equals img_size.
 
-    Returns (image RGB uint8, original (h, w)).
+    Returns (image RGB uint8, original (h, w)). With MSOD_NATIVE=1 the
+    in-repo C++ runtime (native/image_ops.cpp) does the JPEG decode and
+    AREA/LINEAR resize instead of cv2.
     """
+    if _USE_NATIVE and path.lower().endswith((".jpg", ".jpeg")):
+        nat = _native_mod()
+        if nat is not None:
+            rgb = nat.decode_jpeg(open(path, "rb").read())
+            if rgb is not None:
+                h0, w0 = rgb.shape[:2]
+                r = img_size / max(h0, w0)
+                if r != 1:
+                    rgb = nat.resize(rgb, int(h0 * r), int(w0 * r))
+                return rgb, (h0, w0)
     im = cv2.imread(path)  # BGR
     if im is None:
         raise FileNotFoundError(f"image not found: {path}")

@@ -84,3 +84,21 @@ def test_hsv_jitter_reasonable():
     ref = cv2.cvtColor(cv2.merge((cv2.LUT(hue, lut_h), cv2.LUT(sat, lut_s),
                                   cv2.LUT(val, lut_v))), cv2.COLOR_HSV2RGB)
     assert np.mean(np.abs(ours.astype(int) - ref.astype(int))) < 3.0
+
+
+def test_native_backend_load_scaled(tmp_path, monkeypatch):
+    """MSOD_NATIVE=1 path produces the same geometry as the cv2 path."""
+    import cv2
+
+    from multispectral_object_detection_tpu.data import augment
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 255, (96, 128, 3), dtype=np.uint8)
+    p = tmp_path / "x.jpg"
+    cv2.imwrite(str(p), img[:, :, ::-1], [cv2.IMWRITE_JPEG_QUALITY, 95])
+
+    ref, hw_ref = augment.load_scaled(str(p), 64)
+    monkeypatch.setattr(augment, "_USE_NATIVE", True)
+    out, hw = augment.load_scaled(str(p), 64)
+    assert hw == hw_ref and out.shape == ref.shape
+    assert np.mean(np.abs(out.astype(int) - ref.astype(int))) < 4.0
