@@ -49,6 +49,9 @@ def parse_args(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--eval-every", type=int, default=1)
     ap.add_argument("--save-period", type=int, default=-1)
+    ap.add_argument("--ckpt-every", type=int, default=1,
+                    help="save the rolling 'last' checkpoint every N epochs "
+                         "(host serialization is expensive on small VMs)")
     ap.add_argument("--fp32", action="store_true", help="disable bf16 compute")
     ap.add_argument("--n-model", type=int, default=1,
                     help="tensor-parallel axis size for the CFT blocks")
@@ -318,8 +321,10 @@ def run(args) -> dict:
         xlog.log_epoch(epoch, agg[:3], final if fi else {})
 
         if not args.nosave:
-            save_checkpoint(save_dir / "last", state, epoch=epoch,
-                            best_fitness=max(best_fitness, fi))
+            if (epoch % max(args.ckpt_every, 1) == 0
+                    or epoch == args.epochs - 1):
+                save_checkpoint(save_dir / "last", state, epoch=epoch,
+                                best_fitness=max(best_fitness, fi))
             if fi > best_fitness:
                 best_fitness = fi
                 save_checkpoint(save_dir / "best", state, epoch=epoch,
