@@ -39,6 +39,8 @@ def parse_args(argv=None):
     ap.add_argument("--fp32", action="store_true")
     ap.add_argument("--no-rect", action="store_true",
                     help="square letterbox instead of rect batches (pad 0.5)")
+    ap.add_argument("--compute-loss", action="store_true",
+                    help="also report box/obj/cls val loss (test.py:122)")
     return ap.parse_args(argv)
 
 
@@ -103,9 +105,22 @@ def run(args) -> dict:
     if args.save_coco:
         _save_coco_json(fwd, params, stats, loader, ds, args)
 
+    loss_fn = None
+    if args.compute_loss:
+        from ..models.detect import anchor_arrays
+        from ..train.loss import DetectionLoss
+
+        loss_fn = DetectionLoss(nc=nc,
+                                anchors_px=anchor_arrays(model.spec.anchors),
+                                strides=model.spec.strides)
     res = evaluate(fwd, params, stats, loader, nc=nc,
                    conf_thres=args.conf_thres, iou_thres=args.iou_thres,
-                   single_cls=args.single_cls)
+                   single_cls=args.single_cls, loss_fn=loss_fn)
+    if "val_loss" in res:
+        vb, vo, vc = res["val_loss"]
+        logger.info(f"val loss: box {vb:.4f} obj {vo:.4f} cls {vc:.4f}")
+    if "lamr" in res:
+        logger.info(f"log-average miss rate: {res['lamr']:.4f}")
     names = data.get("names", [str(i) for i in range(nc)])
     logger.info(f"{'class':>12} {'P':>8} {'R':>8} {'mAP50':>8} "
                 f"{'mAP75':>8} {'mAP':>8}")

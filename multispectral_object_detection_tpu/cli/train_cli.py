@@ -59,6 +59,9 @@ def parse_args(argv=None):
                     help="evolve hyperparameters for N generations")
     ap.add_argument("--noautoanchor", action="store_true",
                     help="skip the anchor BPR audit / re-clustering")
+    ap.add_argument("--compute-val-loss", action="store_true",
+                    help="also report box/obj/cls loss on the val split "
+                         "(test.py:122-123)")
     ap.add_argument("--multi-scale", action="store_true",
                     help="vary train image size +/-50%% per batch over a "
                          "stride-64 ladder (train.py:747; each size is one "
@@ -309,7 +312,8 @@ def run(args) -> dict:
                                        or epoch == args.epochs - 1):
             res = evaluate(fwd, state.ema_params, state.ema_stats, val_loader,
                            nc=nc, conf_thres=0.001, iou_thres=0.6,
-                           single_cls=args.single_cls)
+                           single_cls=args.single_cls,
+                           loss_fn=loss_fn if args.compute_val_loss else None)
             fi = fitness(res["mp"], res["mr"], res["map50"], res["map"])
             line += (f" | P {res['mp']:.3f} R {res['mr']:.3f} "
                      f"mAP50 {res['map50']:.3f} mAP75 {res['map75']:.3f} "
