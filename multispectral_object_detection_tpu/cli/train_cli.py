@@ -59,6 +59,11 @@ def parse_args(argv=None):
                     help="evolve hyperparameters for N generations")
     ap.add_argument("--noautoanchor", action="store_true",
                     help="skip the anchor BPR audit / re-clustering")
+    ap.add_argument("--device-aug", action="store_true",
+                    help="run mosaic/scale/translate/flip/HSV on the TPU "
+                         "(ops/augment_device.py); host only decodes + "
+                         "letterboxes tiles. Requires default-family affine "
+                         "hyps (degrees/shear/perspective = 0)")
     ap.add_argument("--compute-val-loss", action="store_true",
                     help="also report box/obj/cls loss on the val split "
                          "(test.py:122-123)")
@@ -150,8 +155,14 @@ def run(args) -> dict:
         for l in train_ds.labels:
             if len(l):
                 l[:, 0] = 0
+    if args.device_aug:
+        assert hyp.get("degrees", 0) == 0 and hyp.get("shear", 0) == 0 \
+            and hyp.get("perspective", 0) == 0, \
+            "--device-aug supports the separable (scale/translate) affine only"
     loader = BatchLoader(train_ds, args.batch_size, shuffle=True,
-                         seed=args.seed, max_labels=args.max_labels)
+                         seed=args.seed, max_labels=args.max_labels,
+                         device_aug=args.device_aug,
+                         max_labels_per_tile=max(args.max_labels // 4, 10))
     steps_per_epoch = len(loader)
     assert steps_per_epoch > 0, "dataset smaller than one batch"
 
@@ -283,12 +294,37 @@ def run(args) -> dict:
         agg = np.zeros(4)
         nb = 0
         for batch in loader:
+            key, sk = jax.random.split(key)
+            if args.device_aug:
+                from ..ops.augment_device import device_mosaic_batch
+
+                key, ak = jax.random.split(key)
+                rgb_d, ir_d, tg, tm = device_mosaic_batch(
+                    jnp.asarray(batch["tiles_rgb"]),
+                    jnp.asarray(batch["tiles_ir"]),
+                    jnp.asarray(batch["tile_labels"]),
+                    jnp.asarray(batch["tile_lmask"]), ak,
+                    img_size=img_size, scale_jit=hyp["scale"],
+                    translate=hyp["translate"], fliplr=hyp["fliplr"],
+                    hsv_gains=(hyp["hsv_h"], hyp["hsv_s"], hyp["hsv_v"]))
+                Bq, Mq = tm.shape
+                idx = jnp.broadcast_to(
+                    jnp.arange(Bq, dtype=jnp.float32)[:, None, None],
+                    (Bq, Mq, 1))
+                targets_d = jnp.concatenate([idx, tg], -1).reshape(Bq * Mq, 6)
+                tmask_d = tm.reshape(-1)
+                rgb = jax.device_put(rgb_d, data_shard)
+                ir = jax.device_put(ir_d, data_shard)
+                state, m = step(state, rgb, ir, targets_d, tmask_d, sk)
+                agg += np.array([float(m["box"]), float(m["obj"]),
+                                 float(m["cls"]), float(m["total"])])
+                nb += 1
+                continue
             if plotted < 3 and not args.nosave:
                 plot_batch(batch["rgb"], batch["targets"], batch["tmask"],
                            str(save_dir / f"train_batch{plotted}.jpg"),
                            data.get("names"))
                 plotted += 1
-            key, sk = jax.random.split(key)
             rgb_np = batch["rgb"]
             ir_np = batch.get("ir", batch["rgb"])
             if args.multi_scale:

@@ -212,6 +212,24 @@ class PairedDetectionDataset:
         return rgb, ir, self.labels[i], hw0
 
     # -- main sample assembly -------------------------------------------------
+    def get_tile(self, i: int):
+        """Minimal host work for the DEVICE-side augmentation path
+        (ops/augment_device.py): decode + letterbox to a square s x s tile,
+        labels renormalized to the tile canvas. No host-side randomness."""
+        s = self.img_size
+        rgb0, ir0, lab, _ = self._load_pair(i)
+        h, w = rgb0.shape[:2]
+        rgb, ratio, padwh = letterbox(rgb0, (s, s), auto=False, scaleup=True)
+        ir, _, _ = letterbox(ir0, (s, s), auto=False, scaleup=True)
+        out = np.zeros_like(lab)
+        if len(lab):
+            out[:, 0] = lab[:, 0]
+            out[:, 1] = (ratio[0] * w * lab[:, 1] + padwh[0]) / s
+            out[:, 2] = (ratio[1] * h * lab[:, 2] + padwh[1]) / s
+            out[:, 3] = ratio[0] * w * lab[:, 3] / s
+            out[:, 4] = ratio[1] * h * lab[:, 4] / s
+        return np.ascontiguousarray(rgb), np.ascontiguousarray(ir), out
+
     def get(self, i: int, rng: Optional[random.Random] = None):
         rng = rng or random
         hyp = self.hyp
@@ -331,20 +349,49 @@ def collate_batch(samples, max_labels: int = 120):
     return out
 
 
+def collate_tiles(ds: PairedDetectionDataset, batch_idx, rng: random.Random,
+                  max_labels_per_tile: int = 40):
+    """Assemble a device-augmentation batch: 4 letterboxed tiles per sample
+    (the anchor image + 3 random partners, like load_mosaic_RGB_IR)."""
+    B = len(batch_idx)
+    s = ds.img_size
+    M = max_labels_per_tile
+    rgb = np.zeros((B, 4, s, s, 3), np.uint8)
+    ir = np.zeros((B, 4, s, s, 3), np.uint8)
+    labels = np.zeros((B, 4, M, 5), np.float32)
+    lmask = np.zeros((B, 4, M), np.float32)
+    for bi, i in enumerate(batch_idx):
+        idxs = [int(i)] + [rng.randint(0, len(ds) - 1) for _ in range(3)]
+        for ti, j in enumerate(idxs):
+            r, q, lab = ds.get_tile(j)
+            rgb[bi, ti] = r
+            ir[bi, ti] = q
+            n = min(len(lab), M)
+            labels[bi, ti, :n] = lab[:n]
+            lmask[bi, ti, :n] = 1.0
+    return {"tiles_rgb": rgb, "tiles_ir": ir, "tile_labels": labels,
+            "tile_lmask": lmask}
+
+
 class BatchLoader:
     """Epoch iterator with deterministic shuffling + background prefetch.
 
     Replaces create_dataloader_rgb_ir (datasets.py:223) / InfiniteDataLoader:
     single-threaded assembly with a 2-deep pipeline thread (this host is
-    CPU-poor; the device does the heavy math).
+    CPU-poor; the device does the heavy math). With device_aug=True the
+    loader emits 4-tile batches for ops/augment_device.device_mosaic_batch
+    instead of host-augmented samples.
     """
 
     def __init__(self, dataset: PairedDetectionDataset, batch_size: int, *,
                  shuffle: bool = False, seed: int = 0, max_labels: int = 120,
                  drop_last: bool = True, prefetch: bool = True,
-                 image_weights: bool = False, class_weights=None):
+                 image_weights: bool = False, class_weights=None,
+                 device_aug: bool = False, max_labels_per_tile: int = 40):
         self.ds = dataset
         self.bs = batch_size
+        self.device_aug = device_aug
+        self.max_labels_per_tile = max_labels_per_tile
         if getattr(dataset, "rect", False):
             dataset._setup_rect(batch_size)  # align buckets with batch size
         self.shuffle = shuffle
@@ -385,6 +432,9 @@ class BatchLoader:
         return idx
 
     def _assemble(self, batch_idx, rng):
+        if self.device_aug:
+            return collate_tiles(self.ds, batch_idx, rng,
+                                 self.max_labels_per_tile)
         return collate_batch([self.ds.get(int(i), rng) for i in batch_idx],
                              self.max_labels)
 
