@@ -59,6 +59,8 @@ def parse_args(argv=None):
                     help="evolve hyperparameters for N generations")
     ap.add_argument("--noautoanchor", action="store_true",
                     help="skip the anchor BPR audit / re-clustering")
+    ap.add_argument("--cache-images", action="store_true",
+                    help="cache decoded+scaled images in RAM (datasets.py:619)")
     ap.add_argument("--device-aug", action="store_true",
                     help="run mosaic/scale/translate/flip/HSV on the TPU "
                          "(ops/augment_device.py); host only decodes + "
@@ -123,7 +125,7 @@ def run(args) -> dict:
         data["train_rgb"] if two_stream else data["train"],
         data.get("train_ir"), img_size=img_size, augment=True, hyp=hyp,
         nc=nc if not args.single_cls else None,
-        cache_dir=str(save_dir / "cache"))
+        cache_dir=str(save_dir / "cache"), cache_images=args.cache_images)
 
     # ---- model -------------------------------------------------------------
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16

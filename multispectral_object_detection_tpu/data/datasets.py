@@ -132,7 +132,7 @@ class PairedDetectionDataset:
                  hyp: Optional[dict] = None, nc: Optional[int] = None,
                  cache_dir: Optional[str] = None, pad: float = 0.0,
                  scaleup_eval: bool = False, rect: bool = False,
-                 stride: int = 32):
+                 stride: int = 32, cache_images: bool = False):
         self.rgb_files = list(rgb_files)
         self.ir_files = list(ir_files) if ir_files is not None else None
         if self.ir_files is not None:
@@ -146,6 +146,10 @@ class PairedDetectionDataset:
         self.scaleup_eval = scaleup_eval
         self.rect = rect and not augment
         self.stride = stride
+        # RAM cache of decoded+scaled pairs (reference --cache-images,
+        # datasets.py:619-630); keyed by index, filled lazily
+        self.cache_images = cache_images
+        self._img_cache: Dict[int, tuple] = {}
         self.rect_order = None      # sorted index order (aspect ratio)
         self.rect_shape = None      # per-ORIGINAL-index (h, w) canvas
         if self.rect:
@@ -204,11 +208,17 @@ class PairedDetectionDataset:
 
     # -- raw tile loader for mosaic ------------------------------------------
     def _load_pair(self, i: int):
+        if self.cache_images and i in self._img_cache:
+            rgb, ir, hw0 = self._img_cache[i]
+            return rgb, ir, self.labels[i], hw0
         if self.ir_files is None:
             rgb, hw0 = load_scaled(self.rgb_files[i], self.img_size)
-            return rgb, rgb, self.labels[i], hw0
-        rgb, ir, hw0 = load_scaled_pair(self.rgb_files[i], self.ir_files[i],
-                                        self.img_size)
+            ir = rgb
+        else:
+            rgb, ir, hw0 = load_scaled_pair(self.rgb_files[i],
+                                            self.ir_files[i], self.img_size)
+        if self.cache_images:
+            self._img_cache[i] = (rgb, ir, hw0)
         return rgb, ir, self.labels[i], hw0
 
     # -- main sample assembly -------------------------------------------------

@@ -147,3 +147,15 @@ def test_label_cache_roundtrip(tmp_path, paired_root):
     assert len(l1) == len(l2)
     for a, b in zip(l1, l2):
         np.testing.assert_array_equal(a, b)
+
+
+def test_cache_images(paired_root):
+    rgb_dir, ir_dir = paired_root
+    ds = PairedDetectionDataset.from_sources(rgb_dir, ir_dir, img_size=128,
+                                             augment=False, nc=2,
+                                             cache_images=True)
+    a = ds._load_pair(0)
+    assert 0 in ds._img_cache
+    b = ds._load_pair(0)
+    assert a[0] is b[0]  # served from RAM
+    np.testing.assert_array_equal(a[0], b[0])
