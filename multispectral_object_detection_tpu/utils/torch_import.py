@@ -42,6 +42,7 @@ def convert_state_dict(sd: Dict[str, np.ndarray],
     """
     params: dict = {}
     stats: dict = {}
+    gpt_raw: dict = {}  # blocks with reference GPT weights, stacked later
 
     for key, val in sd.items():
         if not key.startswith(prefix):
@@ -54,6 +55,9 @@ def convert_state_dict(sd: Dict[str, np.ndarray],
         block = f"blocks_{idx}"
         sub = parts[1:]
         if not sub:
+            continue
+        if sub[0] in ("trans_blocks", "pos_emb", "ln_f"):
+            gpt_raw.setdefault(block, {})[".".join(sub)] = np.asarray(val)
             continue
 
         # normalize torch module path -> flax module names
@@ -97,7 +101,46 @@ def convert_state_dict(sd: Dict[str, np.ndarray],
             _set(params, [block, *mod_path, "bias"], val)
             continue
         # anchors / anchor_grid buffers: static in our spec
+
+    for block, raw in gpt_raw.items():
+        params[block] = {**params.get(block, {}), **_convert_gpt(raw)}
     return params, stats
+
+
+def _convert_gpt(raw: Dict[str, np.ndarray]) -> dict:
+    """Reference GPT weights (models/common.py:549) -> our stacked CFT layout
+    (models/fusion.py CrossModalFusion)."""
+    n_layers = 1 + max(int(k.split(".")[1]) for k in raw
+                       if k.startswith("trans_blocks."))
+
+    def g(i, name):
+        return raw[f"trans_blocks.{i}.{name}"]
+
+    out = {
+        "pos_emb": raw["pos_emb"],
+        "ln_f": np.stack([raw["ln_f.weight"], raw["ln_f.bias"]]),
+        "ln1": np.stack([np.stack([g(i, "ln_input.weight"),
+                                   g(i, "ln_input.bias")])
+                         for i in range(n_layers)]),
+        "ln2": np.stack([np.stack([g(i, "ln_output.weight"),
+                                   g(i, "ln_output.bias")])
+                         for i in range(n_layers)]),
+        "qkv_w": np.stack([np.concatenate(
+            [g(i, "sa.que_proj.weight").T, g(i, "sa.key_proj.weight").T,
+             g(i, "sa.val_proj.weight").T], axis=1) for i in range(n_layers)]),
+        "qkv_b": np.stack([np.concatenate(
+            [g(i, "sa.que_proj.bias"), g(i, "sa.key_proj.bias"),
+             g(i, "sa.val_proj.bias")]) for i in range(n_layers)]),
+        "proj_w": np.stack([g(i, "sa.out_proj.weight").T
+                            for i in range(n_layers)]),
+        "proj_b": np.stack([g(i, "sa.out_proj.bias")
+                            for i in range(n_layers)]),
+        "fc1_w": np.stack([g(i, "mlp.0.weight").T for i in range(n_layers)]),
+        "fc1_b": np.stack([g(i, "mlp.0.bias") for i in range(n_layers)]),
+        "fc2_w": np.stack([g(i, "mlp.2.weight").T for i in range(n_layers)]),
+        "fc2_b": np.stack([g(i, "mlp.2.bias") for i in range(n_layers)]),
+    }
+    return out
 
 
 def load_npz_state_dict(path: str) -> Dict[str, np.ndarray]:

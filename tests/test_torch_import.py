@@ -49,3 +49,30 @@ def test_forward_equivalence_with_imported_torch_weights():
         want = z[f"__out{i}__"]                      # (B, na, ny, nx, no)
         got = np.asarray(feats[i]).transpose(0, 3, 1, 2, 4)  # ours: B,ny,nx,na,no
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_gpt_weights_import_matches_fusion_golden():
+    """The importer's GPT mapping reproduces the fusion golden weights."""
+    z = np.load(DATA / "gpt_golden.npz")
+    sd = {f"model.10.{k}": z[k] for k in z.files
+          if k not in ("rgb", "ir", "o1", "o2")}
+    from multispectral_object_detection_tpu.utils.torch_import import (
+        convert_state_dict)
+
+    params, _ = convert_state_dict(sd)
+    p = params["blocks_10"]
+    assert p["qkv_w"].shape == (2, 64, 192)
+    assert p["fc1_w"].shape == (2, 64, 256)
+
+    # run the fusion stage with imported params; must match the golden output
+    from multispectral_object_detection_tpu.models.fusion import (
+        CrossModalFusion)
+
+    mod = CrossModalFusion(d_model=64, n_layer=2)
+    rgb = jnp.asarray(z["rgb"].transpose(0, 2, 3, 1))
+    ir = jnp.asarray(z["ir"].transpose(0, 2, 3, 1))
+    o1, o2 = mod.apply({"params": {k: jnp.asarray(v) for k, v in p.items()}},
+                       (rgb, ir), train=False)
+    np.testing.assert_allclose(np.asarray(o1),
+                               z["o1"].transpose(0, 2, 3, 1),
+                               rtol=2e-4, atol=2e-5)
