@@ -43,6 +43,8 @@ def parse_args(argv=None):
     ap.add_argument("--save-conf", action="store_true")
     ap.add_argument("--nosave", action="store_true")
     ap.add_argument("--fp32", action="store_true")
+    ap.add_argument("--no-fuse", action="store_true",
+                    help="keep live BatchNorm instead of conv-folded inference")
     return ap.parse_args(argv)
 
 
@@ -69,8 +71,15 @@ def run(args) -> dict:
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
     cfg = args.cfg if args.cfg.endswith((".yaml", ".yml")) else \
         get_config(args.cfg, nc=args.nc)
-    model = build_model(cfg, nc=args.nc, dtype=dtype)
     params, stats = load_inference_params(args.weights)
+    if args.no_fuse:
+        model = build_model(cfg, nc=args.nc, dtype=dtype)
+    else:
+        from ..models.model import fuse_conv_bn_params
+
+        model = build_model(cfg, nc=args.nc, dtype=dtype, fused=True)
+        params = fuse_conv_bn_params(params, stats)
+        stats = {}
     two_stream = model.spec.two_stream
     names = (args.names.split(",") if args.names
              else [str(i) for i in range(args.nc)])

@@ -41,6 +41,9 @@ def parse_args(argv=None):
                     help="square letterbox instead of rect batches (pad 0.5)")
     ap.add_argument("--compute-loss", action="store_true",
                     help="also report box/obj/cls val loss (test.py:122)")
+    ap.add_argument("--no-fuse", action="store_true",
+                    help="keep live BatchNorm instead of conv-folded "
+                         "inference (reference fuses by default)")
     return ap.parse_args(argv)
 
 
@@ -49,6 +52,7 @@ def _build(args, img_size):
 
     from ..models import build_model
     from ..models.configs import get_config
+    from ..models.model import fuse_conv_bn_params
     from ..utils.checkpoint import load_inference_params
 
     with open(args.data) as f:
@@ -58,8 +62,14 @@ def _build(args, img_size):
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
     cfg = args.cfg if args.cfg.endswith((".yaml", ".yml")) else \
         get_config(args.cfg, nc=nc)
-    model = build_model(cfg, nc=nc, dtype=dtype)
     params, stats = load_inference_params(args.weights)
+    if args.no_fuse:
+        model = build_model(cfg, nc=nc, dtype=dtype)
+    else:
+        # BN folded into convs, like the reference attempt_load -> .fuse()
+        model = build_model(cfg, nc=nc, dtype=dtype, fused=True)
+        params = fuse_conv_bn_params(params, stats)
+        stats = {}
     return model, params, stats, data, nc, two_stream
 
 
