@@ -101,3 +101,22 @@ def test_resume_roundtrip(workspace):
     ])
     meta = json.loads((root / "runs2" / "exp2" / "last" / "meta.json").read_text())
     assert meta["epoch"] == 3  # resumed at 2, trained to 3
+
+
+def test_evolve_loop(workspace, tmp_path):
+    """Two generations of hyperparameter evolution (train.py:1016 parity):
+    gen 0 trains base hyps, gen 1 mutates from the evolve.txt parent pool."""
+    root, data_yaml = workspace
+    from multispectral_object_detection_tpu.cli.train_cli import main as train_main
+
+    res = train_main([
+        "--cfg", "yolov5n_fusion_add", "--data", data_yaml,
+        "--epochs", "1", "--batch-size", "4", "--img-size", "128",
+        "--project", str(tmp_path / "runs"), "--name", "ev", "--fp32",
+        "--max-labels", "30", "--noautoanchor", "--evolve", "2",
+    ])
+    evolve_dir = tmp_path / "runs" / "ev_evolve"
+    lines = (evolve_dir / "evolve.txt").read_text().splitlines()
+    assert len(lines) == 2
+    assert (evolve_dir / "hyp_evolved.yaml").exists()
+    assert "hyp" in res and "lr0" in res["hyp"]
