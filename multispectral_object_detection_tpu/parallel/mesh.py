@@ -38,6 +38,13 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
     if n_data is None:
         n_data = n // n_model
     assert n_data * n_model <= n, (n_data, n_model, n)
+    if n_data * n_model < n:
+        import warnings
+
+        warnings.warn(
+            f"make_mesh uses {n_data * n_model} of {n} devices "
+            f"(n_data={n_data} x n_model={n_model}); the rest are idle. "
+            f"Pick n_model dividing the device count to use them all.")
     dev = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(dev, axis_names=("data", "model"))
 
@@ -84,9 +91,11 @@ def make_parallel_train_step(model, loss_fn, tx, two_stream: bool, mesh: Mesh,
     """Like trainer.make_train_step but jitted over a mesh.
 
     State shardings: params/opt/ema follow `param_shardings`; batch arrays
-    are sharded over 'data'. Targets are replicated (they carry global image
-    indices; the loss gathers from the sharded feature maps, which XLA
-    partitions correctly).
+    AND targets are sharded over 'data'. Targets arrive as per-image
+    contiguous padded blocks (collate_batch: (B*max_labels, 6) with image
+    i's rows at [i*max_labels, (i+1)*max_labels)), so a leading-axis shard
+    puts every row on the device that owns its image; the loss's global
+    image-index gathers/scatters are partitioned by XLA's SPMD pass.
     """
     from ..train.optim import ema_update
 
@@ -120,7 +129,7 @@ def make_parallel_train_step(model, loss_fn, tx, two_stream: bool, mesh: Mesh,
 
     return jax.jit(
         step_fn,
-        in_shardings=(None, data_s, data_s, repl, repl, repl),
+        in_shardings=(None, data_s, data_s, data_s, data_s, repl),
         donate_argnums=(0,) if donate else (),
     )
 
