@@ -75,11 +75,12 @@ def run(args) -> dict:
     if args.no_fuse:
         model = build_model(cfg, nc=args.nc, dtype=dtype)
     else:
-        from ..models.model import fuse_conv_bn_params
+        from ..models.model import fuse_conv_bn
 
         model = build_model(cfg, nc=args.nc, dtype=dtype, fused=True)
-        params = fuse_conv_bn_params(params, stats)
-        stats = {}
+        # keep the residual (non-conv-adjacent) BN stats live:
+        # BottleneckCSP/MixConv2d/CrossConv configs still need them
+        params, stats = fuse_conv_bn(params, stats)
     two_stream = model.spec.two_stream
     names = (args.names.split(",") if args.names
              else [str(i) for i in range(args.nc)])

@@ -52,7 +52,7 @@ def _build(args, img_size):
 
     from ..models import build_model
     from ..models.configs import get_config
-    from ..models.model import fuse_conv_bn_params
+    from ..models.model import fuse_conv_bn
     from ..utils.checkpoint import load_inference_params
 
     with open(args.data) as f:
@@ -68,8 +68,9 @@ def _build(args, img_size):
     else:
         # BN folded into convs, like the reference attempt_load -> .fuse()
         model = build_model(cfg, nc=nc, dtype=dtype, fused=True)
-        params = fuse_conv_bn_params(params, stats)
-        stats = {}
+        # residual stats stay live for non-conv-adjacent BNs
+        # (BottleneckCSP/MixConv2d/CrossConv)
+        params, stats = fuse_conv_bn(params, stats)
     return model, params, stats, data, nc, two_stream
 
 

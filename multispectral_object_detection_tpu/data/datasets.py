@@ -257,7 +257,9 @@ class PairedDetectionDataset:
                 idxs2 = [rng.randint(0, len(self) - 1) for _ in range(4)]
                 rgb2, _, lab2 = mosaic4_pair(
                     lambda j: self._load_pair(j)[:3], idxs2, s, hyp, rng)
-                r = np.random.beta(32.0, 32.0)
+                # deterministic under the per-epoch seeded rng (the global
+                # np.random would break the loader's reproducibility contract)
+                r = rng.betavariate(32.0, 32.0)
                 rgb = (rgb.astype(np.float32) * r
                        + rgb2.astype(np.float32) * (1 - r)).astype(np.uint8)
                 ir = rgb

@@ -306,12 +306,241 @@ def yolov5_p6(scale: str = "s", nc: int = 80) -> Dict:
     }
 
 
+def yolov3_tiny(nc: int = 80) -> Dict:
+    """YOLOv3-tiny (reference models/hub/yolov3-tiny.yaml): two detect
+    scales at strides 16/32, MaxPool downsampling."""
+    backbone = [
+        [-1, 1, "Conv", [16, 3, 1]],            # 0
+        [-1, 1, "nn.MaxPool2d", [2, 2, 0]],     # 1 P1/2
+        [-1, 1, "Conv", [32, 3, 1]],
+        [-1, 1, "nn.MaxPool2d", [2, 2, 0]],     # 3 P2/4
+        [-1, 1, "Conv", [64, 3, 1]],
+        [-1, 1, "nn.MaxPool2d", [2, 2, 0]],     # 5 P3/8
+        [-1, 1, "Conv", [128, 3, 1]],
+        [-1, 1, "nn.MaxPool2d", [2, 2, 0]],     # 7 P4/16
+        [-1, 1, "Conv", [256, 3, 1]],
+        [-1, 1, "nn.MaxPool2d", [2, 2, 0]],     # 9 P5/32
+        [-1, 1, "Conv", [512, 3, 1]],
+        [-1, 1, "nn.ZeroPad2d", [[0, 1, 0, 1]]],
+        [-1, 1, "nn.MaxPool2d", [2, 1, 0]],     # 12
+    ]
+    head = [
+        [-1, 1, "Conv", [1024, 3, 1]],
+        [-1, 1, "Conv", [256, 1, 1]],
+        [-1, 1, "Conv", [512, 3, 1]],           # 15 P5/32-large
+        [-2, 1, "Conv", [128, 1, 1]],
+        [-1, 1, "nn.Upsample", ["None", 2, "nearest"]],
+        [[-1, 8], 1, "Concat", [1]],
+        [-1, 1, "Conv", [256, 3, 1]],           # 19 P4/16-medium
+        [[19, 15], 1, "Detect", ["nc", "anchors"]],
+    ]
+    return {
+        "nc": nc, "depth_multiple": 1.0, "width_multiple": 1.0,
+        "anchors": [[10, 14, 23, 27, 37, 58],
+                    [81, 82, 135, 169, 344, 319]],
+        "backbone": backbone, "head": head,
+    }
+
+
+def yolov5_fpn(nc: int = 80) -> Dict:
+    """FPN (top-down only) head over a BottleneckCSP backbone
+    (reference models/hub/yolov5-fpn.yaml)."""
+    backbone = [
+        [-1, 1, "Focus", [64, 3]],                 # 0 P1/2
+        [-1, 1, "Conv", [128, 3, 2]],              # 1 P2/4
+        [-1, 3, "Bottleneck", [128]],
+        [-1, 1, "Conv", [256, 3, 2]],              # 3 P3/8
+        [-1, 9, "BottleneckCSP", [256]],
+        [-1, 1, "Conv", [512, 3, 2]],              # 5 P4/16
+        [-1, 9, "BottleneckCSP", [512]],
+        [-1, 1, "Conv", [1024, 3, 2]],             # 7 P5/32
+        [-1, 1, "SPP", [1024, [5, 9, 13]]],
+        [-1, 6, "BottleneckCSP", [1024]],          # 9
+    ]
+    head = [
+        [-1, 3, "BottleneckCSP", [1024, False]],   # 10 P5-large
+        [-1, 1, "nn.Upsample", ["None", 2, "nearest"]],
+        [[-1, 6], 1, "Concat", [1]],
+        [-1, 1, "Conv", [512, 1, 1]],
+        [-1, 3, "BottleneckCSP", [512, False]],    # 14 P4-medium
+        [-1, 1, "nn.Upsample", ["None", 2, "nearest"]],
+        [[-1, 4], 1, "Concat", [1]],
+        [-1, 1, "Conv", [256, 1, 1]],
+        [-1, 3, "BottleneckCSP", [256, False]],    # 18 P3-small
+        [[18, 14, 10], 1, "Detect", ["nc", "anchors"]],
+    ]
+    return {
+        "nc": nc, "depth_multiple": 1.0, "width_multiple": 1.0,
+        "anchors": [list(a) for a in COCO_ANCHORS],
+        "backbone": backbone, "head": head,
+    }
+
+
+def yolov5_panet(nc: int = 80) -> Dict:
+    """PANet head over a BottleneckCSP backbone (models/hub/yolov5-panet.yaml):
+    the yolov5 topology with BottleneckCSP in place of C3."""
+    backbone = [
+        [-1, 1, "Focus", [64, 3]],
+        [-1, 1, "Conv", [128, 3, 2]],
+        [-1, 3, "BottleneckCSP", [128]],
+        [-1, 1, "Conv", [256, 3, 2]],
+        [-1, 9, "BottleneckCSP", [256]],
+        [-1, 1, "Conv", [512, 3, 2]],
+        [-1, 9, "BottleneckCSP", [512]],
+        [-1, 1, "Conv", [1024, 3, 2]],
+        [-1, 1, "SPP", [1024, [5, 9, 13]]],
+        [-1, 3, "BottleneckCSP", [1024, False]],   # 9
+    ]
+    head = [
+        [-1, 1, "Conv", [512, 1, 1]],              # 10
+        [-1, 1, "nn.Upsample", ["None", 2, "nearest"]],
+        [[-1, 6], 1, "Concat", [1]],
+        [-1, 3, "BottleneckCSP", [512, False]],    # 13
+        [-1, 1, "Conv", [256, 1, 1]],              # 14
+        [-1, 1, "nn.Upsample", ["None", 2, "nearest"]],
+        [[-1, 4], 1, "Concat", [1]],
+        [-1, 3, "BottleneckCSP", [256, False]],    # 17 P3
+        [-1, 1, "Conv", [256, 3, 2]],
+        [[-1, 14], 1, "Concat", [1]],
+        [-1, 3, "BottleneckCSP", [512, False]],    # 20 P4
+        [-1, 1, "Conv", [512, 3, 2]],
+        [[-1, 10], 1, "Concat", [1]],
+        [-1, 3, "BottleneckCSP", [1024, False]],   # 23 P5
+        [[17, 20, 23], 1, "Detect", ["nc", "anchors"]],
+    ]
+    return {
+        "nc": nc, "depth_multiple": 1.0, "width_multiple": 1.0,
+        "anchors": [list(a) for a in COCO_ANCHORS],
+        "backbone": backbone, "head": head,
+    }
+
+
+def yolov5_p2(nc: int = 80) -> Dict:
+    """P2-augmented head (models/hub/yolov5-p2.yaml): an extra top-down stage
+    to P2/4 then back down; detect still at P3/P4/P5. `anchors: 3` =
+    autoanchor placeholders."""
+    cfg = yolov5("l", nc=nc)  # shares the exact backbone at gd=gw=1.0
+    head = [
+        [-1, 1, "Conv", [512, 1, 1]],                    # 10
+        [-1, 1, "nn.Upsample", ["None", 2, "nearest"]],
+        [[-1, 6], 1, "Concat", [1]],
+        [-1, 3, "C3", [512, False]],                     # 13
+        [-1, 1, "Conv", [256, 1, 1]],                    # 14
+        [-1, 1, "nn.Upsample", ["None", 2, "nearest"]],
+        [[-1, 4], 1, "Concat", [1]],
+        [-1, 3, "C3", [256, False]],                     # 17 P3-small
+        [-1, 1, "Conv", [128, 1, 1]],                    # 18
+        [-1, 1, "nn.Upsample", ["None", 2, "nearest"]],
+        [[-1, 2], 1, "Concat", [1]],
+        [-1, 1, "C3", [128, False]],                     # 21 P2-xsmall
+        [-1, 1, "Conv", [128, 3, 2]],
+        [[-1, 18], 1, "Concat", [1]],
+        [-1, 3, "C3", [256, False]],                     # 24 P3-small
+        [-1, 1, "Conv", [256, 3, 2]],
+        [[-1, 14], 1, "Concat", [1]],
+        [-1, 3, "C3", [512, False]],                     # 27 P4-medium
+        [-1, 1, "Conv", [512, 3, 2]],
+        [[-1, 10], 1, "Concat", [1]],
+        [-1, 3, "C3", [1024, False]],                    # 30 P5-large
+        [[24, 27, 30], 1, "Detect", ["nc", "anchors"]],
+    ]
+    cfg["head"] = head
+    cfg["anchors"] = 3
+    return cfg
+
+
+def _p6_trunk() -> List[list]:
+    return [
+        [-1, 1, "Focus", [64, 3]],          # 0 P1/2
+        [-1, 1, "Conv", [128, 3, 2]],       # 1 P2/4
+        [-1, 3, "C3", [128]],
+        [-1, 1, "Conv", [256, 3, 2]],       # 3 P3/8
+        [-1, 9, "C3", [256]],
+        [-1, 1, "Conv", [512, 3, 2]],       # 5 P4/16
+        [-1, 9, "C3", [512]],
+        [-1, 1, "Conv", [768, 3, 2]],       # 7 P5/32
+        [-1, 3, "C3", [768]],
+    ]
+
+
+def yolov5_p7(nc: int = 80) -> Dict:
+    """6-scale trunk, detect at P3-P7 / strides 8-128
+    (models/hub/yolov5-p7.yaml). `anchors: 3` placeholders."""
+    backbone = _p6_trunk() + [
+        [-1, 1, "Conv", [1024, 3, 2]],      # 9 P6/64
+        [-1, 3, "C3", [1024]],
+        [-1, 1, "Conv", [1280, 3, 2]],      # 11 P7/128
+        [-1, 1, "SPP", [1280, [3, 5]]],
+        [-1, 3, "C3", [1280, False]],       # 13
+    ]
+    head = [
+        [-1, 1, "Conv", [1024, 1, 1]],                   # 14
+        [-1, 1, "nn.Upsample", ["None", 2, "nearest"]],
+        [[-1, 10], 1, "Concat", [1]],
+        [-1, 3, "C3", [1024, False]],                    # 17
+        [-1, 1, "Conv", [768, 1, 1]],                    # 18
+        [-1, 1, "nn.Upsample", ["None", 2, "nearest"]],
+        [[-1, 8], 1, "Concat", [1]],
+        [-1, 3, "C3", [768, False]],                     # 21
+        [-1, 1, "Conv", [512, 1, 1]],                    # 22
+        [-1, 1, "nn.Upsample", ["None", 2, "nearest"]],
+        [[-1, 6], 1, "Concat", [1]],
+        [-1, 3, "C3", [512, False]],                     # 25
+        [-1, 1, "Conv", [256, 1, 1]],                    # 26
+        [-1, 1, "nn.Upsample", ["None", 2, "nearest"]],
+        [[-1, 4], 1, "Concat", [1]],
+        [-1, 3, "C3", [256, False]],                     # 29 P3-small
+        [-1, 1, "Conv", [256, 3, 2]],
+        [[-1, 26], 1, "Concat", [1]],
+        [-1, 3, "C3", [512, False]],                     # 32 P4-medium
+        [-1, 1, "Conv", [512, 3, 2]],
+        [[-1, 22], 1, "Concat", [1]],
+        [-1, 3, "C3", [768, False]],                     # 35 P5-large
+        [-1, 1, "Conv", [768, 3, 2]],
+        [[-1, 18], 1, "Concat", [1]],
+        [-1, 3, "C3", [1024, False]],                    # 38 P6-xlarge
+        [-1, 1, "Conv", [1024, 3, 2]],
+        [[-1, 14], 1, "Concat", [1]],
+        [-1, 3, "C3", [1280, False]],                    # 41 P7-xxlarge
+        [[29, 32, 35, 38, 41], 1, "Detect", ["nc", "anchors"]],
+    ]
+    return {
+        "nc": nc, "depth_multiple": 1.0, "width_multiple": 1.0,
+        "anchors": 3, "backbone": backbone, "head": head,
+    }
+
+
+def yolov5_transformer(scale: str = "s", nc: int = 80) -> Dict:
+    """C3TR (transformer bottleneck) at the SPP tail
+    (models/hub/yolov5s-transformer.yaml)."""
+    cfg = yolov5(scale, nc=nc)
+    cfg["backbone"][-1] = [-1, 3, "C3TR", [1024, False]]
+    return cfg
+
+
 def get_config(name: str, nc: int | None = None) -> Dict:
     """Resolve a config by name, e.g. 'yolov5s', 'yolov5l_fusion_transformerx3',
     'yolov5s_fusion_add'."""
     name = name.lower().replace(".yaml", "")
+    n_cls = 80 if nc is None else nc
     if name.startswith("yolov3"):
-        return yolov3(nc=80 if nc is None else nc, spp="spp" in name)
+        if "tiny" in name:
+            return yolov3_tiny(nc=n_cls)
+        return yolov3(nc=n_cls, spp="spp" in name)
+    if name in ("yolov5-fpn", "yolov5_fpn"):
+        return yolov5_fpn(nc=n_cls)
+    if name in ("yolov5-panet", "yolov5_panet"):
+        return yolov5_panet(nc=n_cls)
+    if name in ("yolov5-p2", "yolov5_p2"):
+        return yolov5_p2(nc=n_cls)
+    if name in ("yolov5-p7", "yolov5_p7"):
+        return yolov5_p7(nc=n_cls)
+    if name in ("yolov5-p6", "yolov5_p6"):
+        cfg = yolov5_p6(scale="l", nc=n_cls)
+        cfg["anchors"] = 3  # models/hub/yolov5-p6.yaml uses placeholders
+        return cfg
+    if "transformer" in name and "_fusion_" not in name:
+        return yolov5_transformer(scale=name[6], nc=n_cls)
     if name.endswith("6") and name.startswith("yolov5"):
         return yolov5_p6(scale=name[6], nc=80 if nc is None else nc)
     if "_fusion_" in name:
@@ -319,6 +548,15 @@ def get_config(name: str, nc: int | None = None) -> Dict:
         scale = base[-1]
         fus = {"transformerx3": "transformerx3", "transformer": "transformer",
                "add": "add"}.get(fus.split("_")[0], fus)
+        if scale not in SCALES:
+            raise ValueError(f"unknown config {name!r}: scale {scale!r} not "
+                             f"in {sorted(SCALES)}")
         return yolov5_two_stream(scale=scale, nc=1 if nc is None else nc, fusion=fus)
     scale = name[-1]
+    if not name.startswith("yolov5") or scale not in SCALES:
+        raise ValueError(
+            f"unknown config {name!r} (try yolov5[nsmlx], yolov5[smlx]6, "
+            f"yolov3(-spp|-tiny), yolov5-(fpn|panet|p2|p6|p7), "
+            f"yolov5s-transformer, or *_fusion_(add|transformer|"
+            f"transformerx3), or a YAML path)")
     return yolov5(scale=scale, nc=80 if nc is None else nc)

@@ -82,9 +82,11 @@ class ConvBnAct(nn.Module):
         return x
 
 
-def dwconv(c1: int, c2: int, k: int = 1, s: int = 1, act: bool = True, dtype=jnp.float32):
+def dwconv(c1: int, c2: int, k: int = 1, s: int = 1, act: bool = True,
+           dtype=jnp.float32, fused: bool = False):
     """Depthwise-ish conv via grouped conv with g = gcd(c1, c2) (common.py:31)."""
-    return ConvBnAct(c2=c2, k=k, s=s, g=math.gcd(c1, c2), act=act, dtype=dtype)
+    return ConvBnAct(c2=c2, k=k, s=s, g=math.gcd(c1, c2), act=act, dtype=dtype,
+                     fused=fused)
 
 
 class Focus(nn.Module):
@@ -179,10 +181,12 @@ class BottleneckCSP(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = int(self.c2 * self.e)
-        y1 = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train=train)
+        y1 = ConvBnAct(c_, 1, 1, dtype=self.dtype, fused=self.fused,
+                       name="cv1")(x, train=train)
         for i in range(self.n):
             y1 = Bottleneck(c_, c_, self.shortcut, self.g, e=1.0,
-                            dtype=self.dtype, name=f"m{i}")(y1, train=train)
+                            dtype=self.dtype, fused=self.fused,
+                            name=f"m{i}")(y1, train=train)
         y1 = nn.Conv(c_, (1, 1), use_bias=False, dtype=self.dtype,
                      param_dtype=jnp.float32, name="cv3")(y1)
         y2 = nn.Conv(c_, (1, 1), use_bias=False, dtype=self.dtype,
@@ -191,7 +195,8 @@ class BottleneckCSP(nn.Module):
         y = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
                          dtype=jnp.float32, param_dtype=jnp.float32, name="bn")(y)
         y = nn.leaky_relu(y, negative_slope=0.1).astype(self.dtype)
-        return ConvBnAct(self.c2, 1, 1, dtype=self.dtype, name="cv4")(y, train=train)
+        return ConvBnAct(self.c2, 1, 1, dtype=self.dtype, fused=self.fused,
+                         name="cv4")(y, train=train)
 
 
 class SPP(nn.Module):
@@ -248,6 +253,32 @@ class Expand(nn.Module):
         x = x.reshape(b, h, w, s, s, c // (s * s))
         x = x.transpose(0, 1, 3, 2, 4, 5)
         return x.reshape(b, h * s, w * s, c // (s * s))
+
+
+class MaxPool2d(nn.Module):
+    """Torch-style max pool (the `nn.MaxPool2d` rows of yolov3-tiny):
+    floor-mode windows, explicit symmetric padding."""
+
+    k: int = 2
+    s: int = 2
+    p: int = 0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = ((self.p, self.p), (self.p, self.p))
+        return nn.max_pool(x, window_shape=(self.k, self.k),
+                           strides=(self.s, self.s), padding=pad)
+
+
+class ZeroPad2d(nn.Module):
+    """Asymmetric zero pad (left, right, top, bottom) — `nn.ZeroPad2d`."""
+
+    padding: tuple  # (left, right, top, bottom), torch argument order
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        l, r, t, b = self.padding
+        return jnp.pad(x, ((0, 0), (t, b), (l, r), (0, 0)))
 
 
 class Upsample(nn.Module):
@@ -308,9 +339,11 @@ class GhostConv(nn.Module):
     def __call__(self, x, train: bool = False):
         c_ = self.c2 // 2
         y = ConvBnAct(c_, self.k, self.s, None, self.g, self.act,
-                      dtype=self.dtype, name="cv1")(x, train=train)
+                      dtype=self.dtype, fused=self.fused,
+                      name="cv1")(x, train=train)
         y2 = ConvBnAct(c_, 5, 1, None, c_, self.act,
-                       dtype=self.dtype, name="cv2")(y, train=train)
+                       dtype=self.dtype, fused=self.fused,
+                       name="cv2")(y, train=train)
         return jnp.concatenate([y, y2], axis=-1)
 
 
@@ -327,20 +360,34 @@ class GhostBottleneck(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = self.c2 // 2
-        y = GhostConv(c_, 1, 1, dtype=self.dtype, name="g1")(x, train=train)
+        y = GhostConv(c_, 1, 1, dtype=self.dtype, fused=self.fused,
+                      name="g1")(x, train=train)
         if self.s == 2:
-            y = dwconv(c_, c_, self.k, self.s, act=False, dtype=self.dtype)(y, train=train)
-        y = GhostConv(self.c2, 1, 1, act=False, dtype=self.dtype, name="g2")(y, train=train)
+            y = dwconv(c_, c_, self.k, self.s, act=False, dtype=self.dtype,
+                       fused=self.fused)(y, train=train)
+        y = GhostConv(self.c2, 1, 1, act=False, dtype=self.dtype,
+                      fused=self.fused, name="g2")(y, train=train)
         if self.s == 2:
-            sc = dwconv(self.c1, self.c1, self.k, self.s, act=False, dtype=self.dtype)(x, train=train)
-            sc = ConvBnAct(self.c2, 1, 1, act=False, dtype=self.dtype, name="sc")(sc, train=train)
+            sc = dwconv(self.c1, self.c1, self.k, self.s, act=False,
+                        dtype=self.dtype, fused=self.fused)(x, train=train)
+            sc = ConvBnAct(self.c2, 1, 1, act=False, dtype=self.dtype,
+                           fused=self.fused, name="sc")(sc, train=train)
         else:
             sc = x
         return y + sc
 
 
 class TransformerLayerSimple(nn.Module):
-    """No-LayerNorm transformer layer used inside C3TR (common.py:53)."""
+    """No-LayerNorm transformer layer used inside C3TR (common.py:53-67).
+
+    The reference feeds q/k/v Linears(c, c, bias=False) into a full
+    torch `nn.MultiheadAttention(c, num_heads)` — which applies its OWN
+    packed in-projection (in_proj_weight (3c, c) + in_proj_bias (3c)) before
+    the scaled dot-product and an out-projection Linear(c, c, bias=True)
+    after it. Both projections are reproduced here (in_proj_w is stored
+    transposed, (c, 3c), so torch's `x @ W.T` becomes `x @ in_proj_w`);
+    omitting them was the round-1 param-structure gap flagged in VERDICT.
+    """
 
     c: int
     num_heads: int
@@ -350,20 +397,29 @@ class TransformerLayerSimple(nn.Module):
     def __call__(self, x, train: bool = False):
         from ..ops.attention import multi_head_attention
 
-        q = nn.Dense(self.c, use_bias=False, dtype=self.dtype,
+        c = self.c
+        q = nn.Dense(c, use_bias=False, dtype=self.dtype,
                      param_dtype=jnp.float32, name="q")(x)
-        k = nn.Dense(self.c, use_bias=False, dtype=self.dtype,
+        k = nn.Dense(c, use_bias=False, dtype=self.dtype,
                      param_dtype=jnp.float32, name="k")(x)
-        v = nn.Dense(self.c, use_bias=False, dtype=self.dtype,
+        v = nn.Dense(c, use_bias=False, dtype=self.dtype,
                      param_dtype=jnp.float32, name="v")(x)
-        # reference uses nn.MultiheadAttention with its own in/out projections
+        # nn.MultiheadAttention packed in-projection
+        w = self.param("in_proj_w", nn.initializers.xavier_uniform(),
+                       (c, 3 * c), jnp.float32).astype(self.dtype)
+        b = self.param("in_proj_b", nn.initializers.zeros, (3 * c,),
+                       jnp.float32).astype(self.dtype)
+        q = q @ w[:, :c] + b[:c]
+        k = k @ w[:, c:2 * c] + b[c:2 * c]
+        v = v @ w[:, 2 * c:] + b[2 * c:]
         a = multi_head_attention(q, k, v, self.num_heads, dtype=self.dtype)
-        a = nn.Dense(self.c, use_bias=True, dtype=self.dtype,
+        # nn.MultiheadAttention out_proj (bias=True)
+        a = nn.Dense(c, use_bias=True, dtype=self.dtype,
                      param_dtype=jnp.float32, name="out")(a)
         x = x + a
-        y = nn.Dense(self.c, use_bias=False, dtype=self.dtype,
+        y = nn.Dense(c, use_bias=False, dtype=self.dtype,
                      param_dtype=jnp.float32, name="fc1")(x)
-        y = nn.Dense(self.c, use_bias=False, dtype=self.dtype,
+        y = nn.Dense(c, use_bias=False, dtype=self.dtype,
                      param_dtype=jnp.float32, name="fc2")(y)
         return x + y
 
@@ -377,12 +433,13 @@ class TransformerBlock2D(nn.Module):
     num_heads: int
     num_layers: int
     dtype: Any = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.c1 != self.c2:
-            x = ConvBnAct(self.c2, 1, 1, dtype=self.dtype, name="conv")(
-                x, train=train)
+            x = ConvBnAct(self.c2, 1, 1, dtype=self.dtype, fused=self.fused,
+                          name="conv")(x, train=train)
         b, h, w, c = x.shape
         p = x.reshape(b, h * w, c)
         e = nn.Dense(self.c2, dtype=self.dtype, param_dtype=jnp.float32,
@@ -413,7 +470,7 @@ class C3TR(nn.Module):
         y1 = ConvBnAct(c_, 1, 1, dtype=self.dtype, fused=self.fused,
                        name="cv1")(x, train=train)
         y1 = TransformerBlock2D(c_, c_, 4, self.n, dtype=self.dtype,
-                                name="m")(y1, train=train)
+                                fused=self.fused, name="m")(y1, train=train)
         y2 = ConvBnAct(c_, 1, 1, dtype=self.dtype, fused=self.fused,
                        name="cv2")(x, train=train)
         y = jnp.concatenate([y1, y2], axis=-1)

@@ -34,7 +34,7 @@ def _build_module(node: Node, dtype, fused: bool = False,
                            fused=fused)
     if k == "DWConv":
         return L.dwconv(a[0], a[1], a[2] if len(a) > 2 else 1,
-                        a[3] if len(a) > 3 else 1, dtype=dtype)
+                        a[3] if len(a) > 3 else 1, dtype=dtype, fused=fused)
     if k == "Focus":
         return L.Focus(c2=a[1], k=a[2] if len(a) > 2 else 1,
                        s=a[3] if len(a) > 3 else 1, dtype=dtype, fused=fused)
@@ -44,7 +44,8 @@ def _build_module(node: Node, dtype, fused: bool = False,
                             fused=fused)
     if k == "BottleneckCSP":
         return L.BottleneckCSP(a[0], a[1], n=a[2],
-                               shortcut=a[3] if len(a) > 3 else True, dtype=dtype)
+                               shortcut=a[3] if len(a) > 3 else True,
+                               dtype=dtype, fused=fused)
     if k == "C3":
         return L.C3(a[0], a[1], n=a[2],
                     shortcut=a[3] if len(a) > 3 else True, dtype=dtype,
@@ -61,19 +62,23 @@ def _build_module(node: Node, dtype, fused: bool = False,
     if k == "Classify":
         return L.Classify(c2=a[1], dtype=dtype)
     if k == "TransformerBlock":
-        return L.TransformerBlock2D(a[0], a[1], a[2], a[3], dtype=dtype)
+        return L.TransformerBlock2D(a[0], a[1], a[2], a[3], dtype=dtype,
+                                    fused=fused)
     if k == "SPP":
         return L.SPP(a[0], a[1], k=tuple(a[2]) if len(a) > 2 else (5, 9, 13),
                      dtype=dtype, fused=fused)
     if k == "GhostConv":
         return L.GhostConv(c2=a[1], k=a[2] if len(a) > 2 else 1,
-                           s=a[3] if len(a) > 3 else 1, dtype=dtype)
+                           s=a[3] if len(a) > 3 else 1, dtype=dtype,
+                           fused=fused)
     if k == "GhostBottleneck":
         return L.GhostBottleneck(a[0], a[1], k=a[2] if len(a) > 2 else 3,
-                                 s=a[3] if len(a) > 3 else 1, dtype=dtype)
+                                 s=a[3] if len(a) > 3 else 1, dtype=dtype,
+                                 fused=fused)
     if k == "CrossConv":
         return L.CrossConv(a[0], a[1], k=a[2] if len(a) > 2 else 3,
-                           s=a[3] if len(a) > 3 else 1, dtype=dtype)
+                           s=a[3] if len(a) > 3 else 1, dtype=dtype,
+                           fused=fused)
     if k == "Contract":
         return L.Contract(gain=a[0] if a else 2)
     if k == "Expand":
@@ -92,6 +97,12 @@ def _build_module(node: Node, dtype, fused: bool = False,
         scale = a[1] if len(a) > 1 else 2
         mode = a[2] if len(a) > 2 else "nearest"
         return L.Upsample(scale=int(scale), mode=str(mode))
+    if k == "MaxPool2d":
+        # torch nn.MaxPool2d rows: [k, s, pad] (yolov3-tiny)
+        return L.MaxPool2d(k=a[0], s=a[1] if len(a) > 1 else a[0],
+                           p=a[2] if len(a) > 2 else 0)
+    if k == "ZeroPad2d":
+        return L.ZeroPad2d(padding=tuple(a[0]))
     raise ValueError(f"no builder for module kind {k!r}")
 
 
@@ -163,7 +174,7 @@ def build_model(cfg, ch_in: int = 3, nc: Optional[int] = None, anchors=None,
                           use_pallas=use_pallas)
 
 
-def fuse_conv_bn_params(params, batch_stats, eps: float = 1e-3):
+def fuse_conv_bn(params, batch_stats, eps: float = 1e-3):
     """Fold BatchNorm into conv kernels + biases for inference.
 
     The functional equivalent of the reference `Model.fuse()`
@@ -171,13 +182,15 @@ def fuse_conv_bn_params(params, batch_stats, eps: float = 1e-3):
     becomes a conv with
         kernel' = kernel * gamma / sqrt(var + eps)   (per output channel)
         bias'   = beta - mean * gamma / sqrt(var + eps)
-    Returns params for a `DetectionModel(fused=True)` twin; batch_stats are
-    consumed. Subtrees without a conv/bn pair pass through unchanged (their
-    BN, if any, stays live — only ConvBnAct-style pairs are folded).
+    Returns `(fused_params, residual_batch_stats)`. Subtrees without a
+    conv/bn pair pass through unchanged — their BN (BottleneckCSP,
+    MixConv2d, CrossConv hold bare `nn.BatchNorm`s) stays LIVE, so its
+    stats are kept in `residual_batch_stats` and MUST still be passed at
+    apply time; only the folded pairs' stats are dropped.
     """
     def walk(p, s):
         if not isinstance(p, dict):
-            return p
+            return p, None
         if "conv" in p and "bn" in p and s is not None and "bn" in s:
             kernel = p["conv"]["kernel"]
             gamma = p["bn"]["scale"]
@@ -186,12 +199,38 @@ def fuse_conv_bn_params(params, batch_stats, eps: float = 1e-3):
             var = s["bn"]["var"]
             g = gamma / jnp.sqrt(var + eps)
             new = {"conv": {"kernel": kernel * g, "bias": beta - mean * g}}
+            res = {}
             # recurse into any sibling submodules (e.g. Focus holds only conv)
             for k, v in p.items():
                 if k not in ("conv", "bn"):
-                    new[k] = walk(v, s.get(k) if isinstance(s, dict) else None)
-            return new
-        return {k: walk(v, s.get(k) if isinstance(s, dict) else None)
-                for k, v in p.items()}
+                    new[k], r = walk(v, s.get(k) if isinstance(s, dict)
+                                     else None)
+                    if r:
+                        res[k] = r
+            return new, (res or None)
+        out, res = {}, {}
+        skeys = set(s.keys()) if isinstance(s, dict) else set()
+        for k, v in p.items():
+            out[k], r = walk(v, s.get(k) if isinstance(s, dict) else None)
+            if r:
+                res[k] = r
+            skeys.discard(k)
+        # stats subtrees with no params sibling (bare BatchNorm leaves its
+        # mean/var here) survive verbatim
+        for k in skeys:
+            res[k] = s[k]
+        return out, (res or None)
 
-    return walk(params, batch_stats if isinstance(batch_stats, dict) else {})
+    fused, residual = walk(
+        params, batch_stats if isinstance(batch_stats, dict) else {})
+    return fused, (residual or {})
+
+
+def fuse_conv_bn_params(params, batch_stats, eps: float = 1e-3):
+    """Back-compat wrapper over `fuse_conv_bn` returning only the params.
+
+    Callers that discard batch_stats after this are only correct when every
+    BN in the graph is conv-adjacent (true for all shipped configs except
+    those using BottleneckCSP/MixConv2d/CrossConv) — prefer `fuse_conv_bn`.
+    """
+    return fuse_conv_bn(params, batch_stats, eps)[0]

@@ -55,6 +55,10 @@ _CANONICAL = {
     "nn.Upsample": "Upsample",
     "Upsample": "Upsample",
     "nn.BatchNorm2d": "BatchNorm2d",
+    "nn.MaxPool2d": "MaxPool2d",
+    "MaxPool2d": "MaxPool2d",
+    "nn.ZeroPad2d": "ZeroPad2d",
+    "ZeroPad2d": "ZeroPad2d",
     "Detect": "Detect",
 }
 
@@ -137,17 +141,23 @@ def parse_model_config(cfg, ch_in: int = 3, nc: Optional[int] = None,
     gd = float(cfg.get("depth_multiple", 1.0))
     gw = float(cfg.get("width_multiple", 1.0))
     anchors = cfg["anchors"]
-    na = (len(anchors[0]) // 2) if isinstance(anchors, list) else int(anchors)
+    rows = list(cfg["backbone"]) + list(cfg["head"])
+    if not isinstance(anchors, list):
+        # `anchors: N` = N autoanchor placeholders per scale; the reference
+        # substitutes [list(range(N*2))] per Detect input (yolo.py:245-246)
+        na = int(anchors)
+        nl_cfg = next(len(f) for f, _, m, _ in rows
+                      if _CANONICAL.get(str(m)) == "Detect")
+        anchors = [list(range(na * 2))] * nl_cfg
+    na = len(anchors[0]) // 2
     no = na * (nc + 5)
     env = {"nc": nc, "anchors": anchors}
 
-    rows = list(cfg["backbone"]) + list(cfg["head"])
     ch = [ch_in]
-    nodes = []
+    st = [1]   # cumulative stride per row (reference discovers this with a
+    nodes = []  # dummy forward, yolo.py:99; here it is tracked statically)
     save: set[int] = set()
-    nl_cfg = len(anchors) if isinstance(anchors, list) else 3
-    strides = tuple(cfg.get("strides",
-                            tuple(8 * 2 ** i for i in range(nl_cfg))))
+    detect_strides: Optional[Tuple[int, ...]] = None
     two_stream = False
 
     for i, (f, n, mname, args) in enumerate(rows):
@@ -174,6 +184,8 @@ def parse_model_config(cfg, ch_in: int = 3, nc: Optional[int] = None,
         elif kind == "BatchNorm2d":
             c1 = c2 = ch[frm[0]]
             args = [c1]
+        elif kind in ("MaxPool2d", "ZeroPad2d"):
+            c1 = c2 = ch[frm[0]]
         elif kind == "Concat":
             c1 = c2 = sum(ch[x] for x in frm)
         elif kind == "Add":
@@ -213,6 +225,27 @@ def parse_model_config(cfg, ch_in: int = 3, nc: Optional[int] = None,
         else:  # Upsample and other pass-throughs
             c1 = c2 = ch[frm[0]]
 
+        # cumulative-stride bookkeeping (static equivalent of the reference's
+        # dummy-forward stride discovery, yolo.py:97-103)
+        in_st = 1 if frm[0] == -4 else st[frm[0]]
+        sf = 1.0
+        if kind == "Focus":
+            sf = 2.0
+        elif kind in ("Conv", "DWConv", "GhostConv", "GhostBottleneck",
+                      "CrossConv", "MixConv2d"):
+            sf = float(args[3]) if len(args) > 3 else 1.0
+        elif kind == "MaxPool2d":
+            sf = float(args[1]) if len(args) > 1 else float(args[0])
+        elif kind == "Upsample":
+            sf = 1.0 / float(args[1])
+        elif kind == "Contract":
+            sf = float(args[0])
+        elif kind == "Expand":
+            sf = 1.0 / float(args[0])
+        row_st = in_st * sf
+        if kind == "Detect":
+            detect_strides = tuple(int(st[x]) for x in frm)
+
         # normalize negative refs (other than -1 prev / -4 IR input) to
         # absolute row indices, like the reference's `x % i` (yolo_test.py:547)
         frm = tuple(x if (x in (-1, -4) or x >= 0) else i + x for x in frm)
@@ -222,7 +255,13 @@ def parse_model_config(cfg, ch_in: int = 3, nc: Optional[int] = None,
         save.update(x for x in frm if x not in (-1, -4))
         if i == 0:
             ch = []
+            st = []
         ch.append(c2)
+        st.append(row_st)
+
+    strides = tuple(cfg.get(
+        "strides", detect_strides or tuple(8 * 2 ** i
+                                           for i in range(len(anchors)))))
 
     # anchors: keep pixel units; order-check against strides
     from .detect import check_anchor_order

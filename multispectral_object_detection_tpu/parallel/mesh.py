@@ -97,7 +97,7 @@ def make_parallel_train_step(model, loss_fn, tx, two_stream: bool, mesh: Mesh,
     puts every row on the device that owns its image; the loss's global
     image-index gathers/scatters are partitioned by XLA's SPMD pass.
     """
-    from ..train.optim import ema_update
+    from ..train.optim import ema_update, opt_emitted
 
     data_s = batch_sharding(mesh)
     repl = NamedSharding(mesh, P())
@@ -119,11 +119,15 @@ def make_parallel_train_step(model, loss_fn, tx, two_stream: bool, mesh: Mesh,
                 state.params, state.batch_stats, rgb, ir, targets, tmask, rng)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
-        n_upd = state.ema_updates + 1
+        # EMA gated on real optimizer emissions (train.py:768-773)
+        emitted = opt_emitted(new_opt)
+        n_upd = state.ema_updates + emitted.astype(jnp.int32)
         new_state = state.replace(
             params=new_params, batch_stats=new_stats, opt_state=new_opt,
-            ema_params=ema_update(state.ema_params, new_params, n_upd, ema_decay),
-            ema_stats=ema_update(state.ema_stats, new_stats, n_upd, ema_decay),
+            ema_params=ema_update(state.ema_params, new_params, n_upd,
+                                  ema_decay, enabled=emitted),
+            ema_stats=ema_update(state.ema_stats, new_stats, n_upd,
+                                 ema_decay, enabled=emitted),
             step=state.step + 1, ema_updates=n_upd)
         return new_state, comps
 

@@ -1,19 +1,34 @@
 """Optimizer, LR schedule and EMA — the reference training recipe, optax-style.
 
-Reference recipe (train.py:541-577):
-- nominal batch 64; gradient accumulation `max(round(64/bs), 1)`; weight
-  decay scaled by `bs * accumulate / 64`;
-- SGD(momentum=0.937, nesterov) with THREE groups: BN gammas & biases (no
-  decay), conv/dense kernels (decayed), biases additionally get a high
-  warmup LR;
-- one-cycle cosine LR `((1+cos(pi*e/E))/2)*(1-lrf)+lrf`, 3-epoch linear
-  warmup from 0 (0.1 for biases) with momentum warmed from 0.8;
-- EMA of params AND buffers with decay `0.9999*(1-exp(-t/2000))`
-  (utils/torch_utils.py:269-303).
+Reference recipe (train.py:541-577, 735-744, 766-773):
+- nominal batch 64; gradient accumulation `max(round(64/bs), 1)` with
+  gradients SUMMED across micro-batches (torch .backward() accumulates into
+  .grad; the loss is already scaled by the micro-batch size, loss.py:161);
+- weight decay scaled by `bs * accumulate / 64` (train.py:546);
+- SGD(momentum=0.937, nesterov) with THREE groups (train.py:548-560):
+  pg0 = BatchNorm weights (no decay), pg1 = every other module `.weight`
+  (decayed — note this INCLUDES LayerNorm scales), pg2 = every module
+  `.bias` (no decay, high warmup LR). Plain nn.Parameter attributes such as
+  the CFT `pos_emb` land in NO group and are therefore never optimized —
+  they stay at their zero init in the published models (common.py:565);
+- one-cycle cosine LR `((1+cos(pi*e/E))/2)*(1-lrf)+lrf` stepped ONCE PER
+  EPOCH (LambdaLR, train.py:799 — a staircase in the batch index), with
+  `nw = max(round(warmup_epochs*nb), 1000)` warmup iterations during which
+  lr/momentum are interpolated PER BATCH from (0 | warmup_bias_lr,
+  warmup_momentum) and `accumulate` itself ramps 1 -> 64/bs
+  (train.py:735-744);
+- the optimizer steps whenever `ni % accumulate == 0` (train.py:768) where
+  `ni` is the global batch index;
+- EMA of params AND buffers with decay `0.9999*(1-exp(-t/2000))`, updated
+  only when the optimizer actually steps (train.py:768-773,
+  utils/torch_utils.py:269-303).
 
 Design: one custom optax GradientTransformation implementing torch-coupled
-SGD with per-leaf role masks (bias / norm / kernel), driven by step-indexed
-lr/momentum schedules so warmup happens per-iteration inside jit.
+SGD with per-leaf role masks and INTERNAL summed accumulation, driven by the
+micro-batch counter `ni` so warmup/accumulate ramping happen per-batch
+inside jit exactly as the reference does per-batch on host. The state
+exposes `emitted` so the train step can gate EMA updates on real optimizer
+steps (see `opt_emitted`).
 """
 
 from __future__ import annotations
@@ -42,22 +57,36 @@ class OptHyp:
 
 
 def param_role(path: tuple, leaf) -> str:
-    """Classify a parameter: 'bias' | 'norm' | 'kernel'.
+    """Classify a parameter: 'bias' | 'norm' | 'kernel' | 'ln_stacked' |
+    'frozen', mirroring the reference's three param groups (train.py:548-560):
 
-    BN/LN scales+biases and all biases are exempt from weight decay
-    (train.py:548-560); positional embeddings are treated as norm-like.
+    - 'bias'       -> pg2: no decay, warmup_bias_lr ramp. Covers conv/dense
+                      biases AND BatchNorm/LayerNorm biases (the reference
+                      appends every module `.bias` to pg2) and the CFT's
+                      stacked per-layer bias leaves (qkv_b/proj_b/fc1_b/fc2_b).
+    - 'norm'       -> pg0: BN scale, no decay, main lr.
+    - 'kernel'     -> pg1: decayed, main lr.
+    - 'ln_stacked' -> a stacked LayerNorm leaf with a trailing (2, C) layout
+                      [scale, bias]: the scale half follows pg1 (decayed —
+                      the reference decays LayerNorm weights), the bias half
+                      follows pg2.
+    - 'frozen'     -> never updated. The reference's plain nn.Parameter
+                      attributes (GPT.pos_emb, common.py:565) are in NO
+                      param group and are never optimized; pos_emb stays at
+                      its zeros init in the published checkpoints.
     """
-    keys = [getattr(k, "key", getattr(k, "name", str(k))) for k in path]
+    keys = [str(getattr(k, "key", getattr(k, "name", str(k)))) for k in path]
     name = keys[-1] if keys else ""
-    if any("bn" in str(k) or "_bn" in str(k) or "BatchNorm" in str(k)
-           or "ln_" in str(k) or "LayerNorm" in str(k) for k in keys):
-        return "norm"
-    if name == "bias":
+    if name in ("pos_emb", "in_proj_w", "in_proj_b"):
+        # plain nn.Parameter attributes (GPT.pos_emb, MultiheadAttention
+        # in_proj_weight/bias) are in NO reference param group -> untrained
+        return "frozen"
+    if name == "bias" or name.endswith("_b"):
         return "bias"
-    if name in ("scale",):  # flax norm scale
+    if name == "scale":
         return "norm"
-    if name == "pos_emb":
-        return "norm"
+    if name.startswith("ln"):  # ln1 / ln2 / ln_f stacked (…, 2, C) leaves
+        return "ln_stacked"
     return "kernel"
 
 
@@ -79,92 +108,160 @@ def linear_lf(epochs: int, lrf: float) -> Callable[[jnp.ndarray], jnp.ndarray]:
 
 class SGDState(NamedTuple):
     momentum_buf: Any
-    count: jnp.ndarray
+    acc_grad: Any              # summed micro-batch gradients since last step
+    ni: jnp.ndarray            # global micro-batch counter (train.py:714)
+    gradient_steps: jnp.ndarray  # number of real optimizer steps taken
+    emitted: jnp.ndarray       # did the LAST update() emit a real step
+
+
+def warmup_schedules(hyp: OptHyp, steps_per_epoch: int, epochs: int,
+                     total_batch_size: int, linear_lr: bool = False,
+                     warmup_min_iters: int = 1000):
+    """Returns `sched(ni) -> (lr_main, lr_bias, momentum, accumulate)`.
+
+    Reproduces the reference per-batch trajectory exactly (train.py:735-744):
+    during warmup (`ni <= nw`, nw = max(round(warmup_epochs*nb), 1000)) every
+    quantity is np.interp'd in the batch index; afterwards lr follows the
+    per-EPOCH LambdaLR staircase `lr0 * lf(epoch)`.
+    """
+    nw = max(round(hyp.warmup_epochs * steps_per_epoch), warmup_min_iters)
+    nw = max(nw, 1)
+    ratio = 64.0 / float(total_batch_size)  # accumulate ramp target
+    lf = (linear_lf if linear_lr else one_cycle_lf)(epochs, hyp.lrf)
+
+    def sched(ni):
+        nif = ni.astype(jnp.float32)
+        epoch = (ni // steps_per_epoch).astype(jnp.float32)  # LambdaLR staircase
+        base = hyp.lr0 * lf(epoch)
+        frac = jnp.clip(nif / nw, 0.0, 1.0)
+        in_warm = nif <= nw
+        lr_main = jnp.where(in_warm, frac * base, base)
+        lr_bias = jnp.where(
+            in_warm, hyp.warmup_bias_lr + frac * (base - hyp.warmup_bias_lr),
+            base)
+        mom = jnp.where(
+            in_warm,
+            hyp.warmup_momentum + frac * (hyp.momentum - hyp.warmup_momentum),
+            hyp.momentum)
+        k = jnp.where(in_warm,
+                      jnp.maximum(1.0, jnp.round(1.0 + frac * (ratio - 1.0))),
+                      jnp.maximum(1.0, jnp.round(ratio))).astype(jnp.int32)
+        return lr_main, lr_bias, mom, k
+
+    return sched
 
 
 def yolo_sgd(params_roles, hyp: OptHyp, steps_per_epoch: int, epochs: int,
              accumulate: int = 1, total_batch_size: int = 64,
-             linear_lr: bool = False) -> optax.GradientTransformation:
-    """Torch-coupled SGD + nesterov + per-role warmup, fully step-driven.
+             linear_lr: bool = False,
+             warmup_min_iters: int = 1000) -> optax.GradientTransformation:
+    """Torch-coupled SGD + nesterov + per-role warmup + summed accumulation.
 
-    params_roles: pytree of 'bias'/'norm'/'kernel' strings (same structure
-    as params).
+    One `update()` call = ONE micro-batch (gradients of the bs-scaled loss).
+    Gradients are SUMMED into `acc_grad`; a real parameter step is emitted
+    whenever `ni % accumulate == 0` with the (warmup-ramped) accumulate of
+    that batch — bitwise the reference control flow (train.py:735-773).
+
+    params_roles: pytree of role strings (same structure as params).
+    `accumulate` is the NOMINAL max(round(64/bs), 1) — used only for the
+    weight-decay scale; the live value is ramped by the schedule.
     """
     nbs = 64.0
     wd = hyp.weight_decay * total_batch_size * accumulate / nbs  # train.py:546
-    nw = max(round(hyp.warmup_epochs * steps_per_epoch), 100)    # train.py:685
-    lf = (linear_lf if linear_lr else one_cycle_lf)(epochs, hyp.lrf)
+    sched = warmup_schedules(hyp, steps_per_epoch, epochs, total_batch_size,
+                             linear_lr, warmup_min_iters)
 
-    def schedules(count):
-        # `count` counts optimizer updates; integrated warmup uses raw steps.
-        ni = count.astype(jnp.float32) * accumulate  # approx batch counter
-        epoch_f = ni / steps_per_epoch
-        base = hyp.lr0 * lf(epoch_f)
-        frac = jnp.clip(ni / nw, 0.0, 1.0)
-        in_warm = ni < nw
-        lr_main = jnp.where(in_warm, frac * base, base)
-        lr_bias = jnp.where(in_warm,
-                            hyp.warmup_bias_lr + frac * (base - hyp.warmup_bias_lr),
-                            base)
-        mom = jnp.where(in_warm,
-                        hyp.warmup_momentum + frac * (hyp.momentum - hyp.warmup_momentum),
-                        hyp.momentum)
-        return lr_main, lr_bias, mom
+    # stacked-LN leaves: trailing (2, C) = [scale, bias]
+    _ln_decay = jnp.asarray([1.0, 0.0]).reshape(2, 1)
 
     def init(params):
-        return SGDState(momentum_buf=jax.tree.map(jnp.zeros_like, params),
-                        count=jnp.zeros((), jnp.int32))
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        return SGDState(momentum_buf=zeros,
+                        acc_grad=jax.tree.map(jnp.zeros_like, params),
+                        ni=jnp.zeros((), jnp.int32),
+                        gradient_steps=jnp.zeros((), jnp.int32),
+                        emitted=jnp.asarray(False))
 
     def update(grads, state, params=None):
-        lr_main, lr_bias, mom = schedules(state.count)
+        lr_main, lr_bias, mom, k = sched(state.ni)
+        emit = (state.ni % k) == 0
+        acc = jax.tree.map(jnp.add, state.acc_grad, grads)
 
-        def eff_grad(role, g, p):
-            return g + (wd * p if role == "kernel" else 0.0)  # coupled L2
+        def one(role, g, buf, p):
+            if role == "frozen":
+                return (jnp.zeros_like(p), buf)
+            if role == "kernel":
+                eff = g + wd * p
+                lr = lr_main
+            elif role == "ln_stacked":
+                eff = g + wd * _ln_decay * p
+                lr = jnp.stack([lr_main, lr_bias]).reshape(2, 1)
+            elif role == "bias":
+                eff = g
+                lr = lr_bias
+            else:  # norm
+                eff = g
+                lr = lr_main
+            new_buf = mom * buf + eff
+            d = eff + mom * new_buf  # nesterov
+            u = -lr * d
+            return (jnp.where(emit, u, jnp.zeros_like(u)),
+                    jnp.where(emit, new_buf, buf))
 
-        def new_buf(role, g, buf, p):
-            return mom * buf + eff_grad(role, g, p)
-
-        bufs = jax.tree.map(new_buf, params_roles, grads,
-                            state.momentum_buf, params)
-
-        def step(role, g, buf, p):
-            d = eff_grad(role, g, p) + mom * buf  # nesterov uses updated buf
-            lr = lr_bias if role == "bias" else lr_main
-            return -lr * d
-
-        updates = jax.tree.map(step, params_roles, grads, bufs, params)
-        return updates, SGDState(momentum_buf=bufs, count=state.count + 1)
+        pairs = jax.tree.map(one, params_roles, acc, state.momentum_buf,
+                             params)
+        is_pair = lambda x: isinstance(x, tuple) and len(x) == 2 and not isinstance(x[0], tuple)  # noqa: E731
+        updates = jax.tree.map(lambda pr: pr[0], pairs, is_leaf=is_pair)
+        bufs = jax.tree.map(lambda pr: pr[1], pairs, is_leaf=is_pair)
+        acc_next = jax.tree.map(
+            lambda a: jnp.where(emit, jnp.zeros_like(a), a), acc)
+        return updates, SGDState(
+            momentum_buf=bufs, acc_grad=acc_next, ni=state.ni + 1,
+            gradient_steps=state.gradient_steps + emit.astype(jnp.int32),
+            emitted=emit)
 
     return optax.GradientTransformation(init, update)
 
 
+def opt_emitted(opt_state) -> jnp.ndarray:
+    """Did the last tx.update() emit a real optimizer step?
+
+    Used to gate EMA updates on optimizer emission (train.py:768-773: the
+    reference calls ema.update only when the optimizer steps). Returns a
+    traced bool for SGDState/MultiStepsState; a static True otherwise
+    (unaccumulated optimizers emit every update).
+    """
+    if isinstance(opt_state, SGDState):
+        return opt_state.emitted
+    if isinstance(opt_state, optax.MultiStepsState):
+        return opt_state.mini_step == 0  # just wrapped -> emitted
+    return jnp.asarray(True)
+
+
 def build_optimizer(params, hyp: OptHyp, steps_per_epoch: int, epochs: int,
                     accumulate: int = 1, total_batch_size: int = 64,
-                    linear_lr: bool = False):
+                    linear_lr: bool = False, warmup_min_iters: int = 1000):
     """Returns (tx, roles). Adam variant mirrors train.py:562-565."""
     roles = jax.tree_util.tree_map_with_path(param_role, params)
     if hyp.adam:
-        nw = max(round(hyp.warmup_epochs * steps_per_epoch), 100)
-        lf = (linear_lf if linear_lr else one_cycle_lf)(epochs, hyp.lrf)
-
-        def sched(count):
-            ni = count * accumulate
-            base = hyp.lr0 * lf(ni / steps_per_epoch)
-            return jnp.where(ni < nw, jnp.clip(ni / nw, 0, 1) * base, base)
-
+        sched = warmup_schedules(hyp, steps_per_epoch, epochs,
+                                 total_batch_size, linear_lr,
+                                 warmup_min_iters)
         wd = hyp.weight_decay * total_batch_size * accumulate / 64.0
         mask = jax.tree.map(lambda r: r == "kernel", roles,
                             is_leaf=lambda x: isinstance(x, str))
         tx = optax.chain(
             optax.add_decayed_weights(wd, mask=mask),
             optax.scale_by_adam(b1=hyp.momentum, b2=0.999),
-            optax.scale_by_schedule(lambda c: -sched(c)),
+            optax.scale_by_schedule(lambda c: -sched(c)[0]),
         )
+        if accumulate > 1:
+            # reference SUMS micro-batch grads (torch backward accumulation)
+            tx = optax.MultiSteps(tx, every_k_schedule=accumulate,
+                                  use_grad_mean=False)
         return tx, roles
     tx = yolo_sgd(roles, hyp, steps_per_epoch, epochs, accumulate,
-                  total_batch_size, linear_lr)
-    if accumulate > 1:
-        tx = optax.MultiSteps(tx, every_k_schedule=accumulate)
+                  total_batch_size, linear_lr, warmup_min_iters)
     return tx, roles
 
 
@@ -174,9 +271,17 @@ def ema_decay_schedule(updates: jnp.ndarray, decay: float = 0.9999,
     return decay * (1.0 - jnp.exp(-updates.astype(jnp.float32) / tau))
 
 
-def ema_update(ema_tree, new_tree, updates: jnp.ndarray, decay: float = 0.9999):
-    """One EMA step over params (and float buffers)."""
+def ema_update(ema_tree, new_tree, updates: jnp.ndarray,
+               decay: float = 0.9999, enabled=None):
+    """One EMA step over params (and float buffers).
+
+    `enabled` (bool scalar or None): when False the tree is returned
+    unchanged — used to gate EMA on real optimizer emissions under gradient
+    accumulation (train.py:768-773).
+    """
     d = ema_decay_schedule(updates, decay)
+    if enabled is not None:
+        d = jnp.where(enabled, d, 1.0)
 
     def upd(e, p):
         if not jnp.issubdtype(jnp.asarray(p).dtype, jnp.floating):

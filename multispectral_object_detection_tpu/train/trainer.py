@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from .loss import DetectionLoss
-from .optim import ema_update
+from .optim import ema_update, opt_emitted
 
 
 class TrainState(struct.PyTreeNode):
@@ -76,11 +76,15 @@ def make_train_step(model, loss_fn: DetectionLoss, tx,
                 state.params, state.batch_stats, rgb, ir, targets, tmask, rng)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
-        new_updates = state.ema_updates + 1
+        # EMA only when the optimizer actually emitted a step — under grad
+        # accumulation the reference updates EMA once per optimizer step,
+        # not per micro-batch (train.py:768-773)
+        emitted = opt_emitted(new_opt)
+        new_updates = state.ema_updates + emitted.astype(jnp.int32)
         ema_params = ema_update(state.ema_params, new_params, new_updates,
-                                ema_decay)
+                                ema_decay, enabled=emitted)
         ema_stats = ema_update(state.ema_stats, new_stats, new_updates,
-                               ema_decay)
+                               ema_decay, enabled=emitted)
         new_state = state.replace(
             params=new_params, batch_stats=new_stats, opt_state=new_opt,
             ema_params=ema_params, ema_stats=ema_stats,

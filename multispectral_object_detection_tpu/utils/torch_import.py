@@ -61,13 +61,19 @@ def convert_state_dict(sd: Dict[str, np.ndarray],
             continue
 
         # normalize torch module path -> flax module names
-        # m.{k} (C3 bottlenecks / Detect convs) -> m{k}
+        # m.{k} (C3 bottlenecks / Detect convs) -> m{k};
+        # tr.{k} (TransformerBlock layers) -> tr{k}; linear (its position
+        # embedding) -> pos
         norm = []
         i = 0
         while i < len(sub):
-            if sub[i] == "m" and i + 1 < len(sub) and sub[i + 1].isdigit():
-                norm.append(f"m{sub[i + 1]}")
+            if (sub[i] in ("m", "tr") and i + 1 < len(sub)
+                    and sub[i + 1].isdigit()):
+                norm.append(f"{sub[i]}{sub[i + 1]}")
                 i += 2
+            elif sub[i] == "linear":
+                norm.append("pos")
+                i += 1
             else:
                 norm.append(sub[i])
                 i += 1
@@ -75,6 +81,20 @@ def convert_state_dict(sd: Dict[str, np.ndarray],
         leaf = norm[-1]
         mod_path = norm[:-1]
         val = np.asarray(val)
+
+        # nn.MultiheadAttention inside TransformerLayer (common.py:60):
+        # packed in-projection + out_proj -> in_proj_w/in_proj_b + out
+        if "ma" in norm:
+            j = norm.index("ma")
+            if leaf == "in_proj_weight":
+                _set(params, [block, *norm[:j], "in_proj_w"],
+                     np.ascontiguousarray(val.T))
+                continue
+            if leaf == "in_proj_bias":
+                _set(params, [block, *norm[:j], "in_proj_b"], val)
+                continue
+            if len(norm) > j + 1 and norm[j + 1] == "out_proj":
+                mod_path = norm[:j] + ["out"]
 
         if leaf == "num_batches_tracked":
             continue

@@ -1,18 +1,27 @@
-"""Optimizer recipe tests: warmup interpolation, role-dependent decay, EMA."""
+"""Optimizer recipe tests: reference-trajectory warmup, summed accumulation,
+role-dependent decay, EMA gating.
+
+The reference trajectory simulated here is train.py:735-773: per-batch
+np.interp warmup of lr/momentum/accumulate over nw = max(round(3*nb), 1000)
+iterations, per-epoch LambdaLR staircase afterwards, optimizer step whenever
+ni % accumulate == 0, EMA updated only on optimizer steps.
+"""
+
+import math
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from multispectral_object_detection_tpu.train.optim import (
-    OptHyp, build_optimizer, ema_decay_schedule, ema_update, one_cycle_lf,
-    param_role, yolo_sgd)
+    OptHyp, SGDState, build_optimizer, ema_decay_schedule, ema_update,
+    one_cycle_lf, opt_emitted, param_role, warmup_schedules, yolo_sgd)
 
 
 def _roles_tree():
     return {
         "conv": {"kernel": "kernel"},
-        "bn": {"scale": "norm", "bias": "norm"},
+        "bn": {"scale": "norm", "bias": "bias"},
         "head": {"bias": "bias"},
     }
 
@@ -26,33 +35,128 @@ def _params():
 
 
 def test_warmup_start_values():
-    """First update: main lr ~ 0, bias lr ~ warmup_bias_lr, momentum 0.8."""
+    """First update (ni=0): main lr 0, bias lr warmup_bias_lr, momentum 0.8,
+    and the step EMITS (reference: ni % accumulate == 0 at ni=0)."""
     hyp = OptHyp(lr0=0.01, warmup_epochs=3.0, warmup_bias_lr=0.1)
     tx = yolo_sgd(_roles_tree(), hyp, steps_per_epoch=100, epochs=300)
     params = _params()
     state = tx.init(params)
     grads = jax.tree.map(jnp.ones_like, params)
-    updates, _ = tx.update(grads, state, params)
-    # bias step at count 0: buf = 0.8*0 + g; d = g + 0.8*buf = 1.8; u = -0.1*1.8
+    updates, state = tx.update(grads, state, params)
+    assert bool(state.emitted)
+    # bias step at ni 0: mom=0.8; buf = 0.8*0 + g; d = g + 0.8*buf = 1.8
     np.testing.assert_allclose(np.asarray(updates["head"]["bias"]),
                                -0.1 * 1.8, rtol=1e-5)
-    # main lr is ~0 at the very first step
-    assert abs(float(updates["bn"]["scale"][0])) < 1e-6
+    # main lr is exactly 0 at the very first step
+    assert abs(float(updates["bn"]["scale"][0])) < 1e-9
 
 
-def test_post_warmup_lr_follows_one_cycle():
-    hyp = OptHyp(lr0=0.01, lrf=0.2, warmup_epochs=0.0)
-    spe, epochs = 10, 100
-    tx = yolo_sgd(_roles_tree(), hyp, steps_per_epoch=spe, epochs=epochs)
-    params = _params()
+def _reference_trajectory(hyp, nb, epochs, total_bs, niters):
+    """Host-side replay of train.py:735-744 + LambdaLR staircase."""
+    nbs = 64
+    nw = max(round(hyp.warmup_epochs * nb), 1000)
+    lf = lambda e: ((1 + math.cos(e * math.pi / epochs)) / 2) * (1 - hyp.lrf) + hyp.lrf  # noqa: E731
+    out = []
+    accumulate = max(round(nbs / total_bs), 1)
+    for ni in range(niters):
+        epoch = ni // nb
+        base = hyp.lr0 * lf(epoch)
+        if ni <= nw:
+            xi = [0, nw]
+            accumulate = max(1, np.interp(ni, xi, [1, nbs / total_bs]).round())
+            lr_main = np.interp(ni, xi, [0.0, base])
+            lr_bias = np.interp(ni, xi, [hyp.warmup_bias_lr, base])
+            mom = np.interp(ni, xi, [hyp.warmup_momentum, hyp.momentum])
+        else:
+            lr_main = lr_bias = base
+            mom = hyp.momentum
+        emit = ni % accumulate == 0
+        out.append((lr_main, lr_bias, mom, accumulate, emit))
+    return out
+
+
+def test_trajectory_matches_reference():
+    """lr/momentum/accumulate/emission over 3 epochs match the reference's
+    per-batch host computation exactly (VERDICT round-1 item 7)."""
+    hyp = OptHyp(lr0=0.01, lrf=0.2, warmup_epochs=3.0)
+    nb, epochs, total_bs = 400, 3, 16
+    sched = warmup_schedules(hyp, nb, epochs, total_bs)
+    ref = _reference_trajectory(hyp, nb, epochs, total_bs, nb * epochs)
+    nis = list(range(0, 200)) + list(range(200, nb * epochs, 37))
+    for ni in nis:
+        lr_m, lr_b, mom, k = jax.tree.map(
+            float, sched(jnp.asarray(ni, jnp.int32)))
+        r_lm, r_lb, r_mom, r_k, r_emit = ref[ni]
+        assert abs(lr_m - r_lm) < 1e-7, (ni, lr_m, r_lm)
+        assert abs(lr_b - r_lb) < 1e-7, (ni, lr_b, r_lb)
+        assert abs(mom - r_mom) < 1e-7, (ni, mom, r_mom)
+        assert int(k) == int(r_k), (ni, k, r_k)
+        assert (ni % int(k) == 0) == r_emit
+
+
+def test_accumulation_sum_semantics():
+    """4 micro-steps at bs16 emit the SAME update as one bs64 step whose
+    gradient is the 4-micro-batch sum (reference: loss*bs + torch backward
+    accumulation => summed grads; ADVICE round-1 medium item)."""
+    params = {"w": jnp.ones((3,))}
+    roles = {"w": "norm"}  # no decay: isolates the gradient path
+    hyp = OptHyp(warmup_epochs=0.0)
+    g = {"w": jnp.full((3,), 0.25)}
+
+    tx16 = yolo_sgd(roles, hyp, steps_per_epoch=10, epochs=10, accumulate=4,
+                    total_batch_size=16, warmup_min_iters=0)
+    s16 = tx16.init(params)
+    # ni=0 emits immediately (1 micro-batch); the SECOND emission at ni=4
+    # integrates the grads of ni=1..4
+    upd0, s16 = tx16.update(g, s16, params)
+    emitted_seq = [bool(s16.emitted)]
+    for _ in range(4):
+        upd16, s16 = tx16.update(g, s16, params)
+        emitted_seq.append(bool(s16.emitted))
+    assert emitted_seq == [True, False, False, False, True]
+
+    tx64 = yolo_sgd(roles, hyp, steps_per_epoch=10, epochs=10, accumulate=1,
+                    total_batch_size=64, warmup_min_iters=0)
+    s64 = tx64.init(params)
+    g4 = {"w": jnp.full((3,), 1.0)}  # the 4-micro-batch SUM
+    upd64a, s64 = tx64.update(g4, s64, params)
+    upd64b, s64 = tx64.update(g4, s64, params)
+    # compare second emissions (same momentum-buffer history: one prior step
+    # of magnitude g on tx16's path vs g4 on tx64's... so compare buffers
+    # explicitly instead: replay tx64 with first step = upd0's gradient)
+    tx64b = yolo_sgd(roles, hyp, steps_per_epoch=10, epochs=10, accumulate=1,
+                     total_batch_size=64, warmup_min_iters=0)
+    s = tx64b.init(params)
+    u1, s = tx64b.update(g, s, params)      # matches tx16's ni=0 emission
+    np.testing.assert_allclose(np.asarray(u1["w"]), np.asarray(upd0["w"]),
+                               rtol=1e-6)
+    u2, s = tx64b.update(g4, s, params)     # matches tx16's ni=4 emission
+    np.testing.assert_allclose(np.asarray(u2["w"]), np.asarray(upd16["w"]),
+                               rtol=1e-6)
+
+
+def test_weight_decay_roles():
+    """norm/bias leaves see no decay; kernel sees coupled L2; frozen never
+    moves; ln_stacked decays only its scale half."""
+    hyp = OptHyp(lr0=0.01, lrf=0.2, warmup_epochs=0.0, weight_decay=0.1)
+    roles = {"k": "kernel", "n": "norm", "b": "bias", "f": "frozen",
+             "ln": "ln_stacked"}
+    params = {"k": jnp.ones((2,)), "n": jnp.ones((2,)), "b": jnp.ones((2,)),
+              "f": jnp.ones((2,)), "ln": jnp.ones((4, 2, 3))}
+    tx = yolo_sgd(roles, hyp, steps_per_epoch=10, epochs=10,
+                  warmup_min_iters=0)
     state = tx.init(params)
-    grads = jax.tree.map(jnp.zeros_like, params)  # isolate wd coupling
-    # norm params have no weight decay: zero grad -> zero update
-    for _ in range(5):
-        updates, state = tx.update(grads, state, params)
-    assert float(jnp.abs(updates["bn"]["scale"]).max()) == 0.0
-    # kernel gets coupled L2: u = -lr * wd_eff * p * (1 + mom) at buf steady-in
-    assert float(jnp.abs(updates["conv"]["kernel"]).max()) > 0.0
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    upd = None
+    for _ in range(3):  # past the ni<=nw=1 warmup tail
+        upd, state = tx.update(zeros, state, params)
+    assert float(jnp.abs(upd["n"]).max()) == 0.0    # no decay
+    assert float(jnp.abs(upd["b"]).max()) == 0.0    # no decay
+    assert float(jnp.abs(upd["f"]).max()) == 0.0    # frozen
+    assert float(jnp.abs(upd["k"]).max()) > 0.0     # decayed
+    ln = np.asarray(upd["ln"])
+    assert np.abs(ln[:, 0]).max() > 0.0             # scale half decayed
+    assert np.abs(ln[:, 1]).max() == 0.0            # bias half not
 
 
 def test_one_cycle_endpoints():
@@ -67,14 +171,24 @@ def test_param_roles():
     params = {
         "blocks_0": {"conv": {"kernel": np.zeros((3, 3, 4, 8))},
                      "bn": {"scale": np.zeros(8), "bias": np.zeros(8)}},
-        "blocks_24": {"m0": {"bias": np.zeros(18), "kernel": np.zeros((1, 1, 4, 18))}},
-        "blocks_10": {"pos_emb": np.zeros((1, 128, 64))},
+        "blocks_24": {"m0": {"bias": np.zeros(18),
+                             "kernel": np.zeros((1, 1, 4, 18))}},
+        "blocks_10": {"pos_emb": np.zeros((1, 128, 64)),
+                      "ln1": np.zeros((8, 2, 64)),
+                      "qkv_w": np.zeros((8, 64, 192)),
+                      "qkv_b": np.zeros((8, 192))},
     }
     roles = jtu.tree_map_with_path(param_role, params)
     assert roles["blocks_0"]["conv"]["kernel"] == "kernel"
     assert roles["blocks_0"]["bn"]["scale"] == "norm"
+    # the reference puts EVERY module bias in pg2 (train.py:550-551)
+    assert roles["blocks_0"]["bn"]["bias"] == "bias"
     assert roles["blocks_24"]["m0"]["bias"] == "bias"
-    assert roles["blocks_10"]["pos_emb"] == "norm"
+    # pos_emb is in NO reference param group -> frozen (common.py:565)
+    assert roles["blocks_10"]["pos_emb"] == "frozen"
+    assert roles["blocks_10"]["ln1"] == "ln_stacked"
+    assert roles["blocks_10"]["qkv_w"] == "kernel"
+    assert roles["blocks_10"]["qkv_b"] == "bias"
 
 
 def test_ema_schedule_and_update():
@@ -86,18 +200,26 @@ def test_ema_schedule_and_update():
     new = {"w": jnp.ones(3)}
     out = ema_update(ema, new, jnp.int32(2000))
     np.testing.assert_allclose(np.asarray(out["w"]), 1 - d2000, rtol=1e-5)
+    # gating: enabled=False leaves the EMA untouched
+    out = ema_update(ema, new, jnp.int32(2000), enabled=jnp.asarray(False))
+    np.testing.assert_allclose(np.asarray(out["w"]), 0.0, atol=1e-9)
 
 
-def test_multisteps_accumulation():
-    """accumulate>1 wraps in MultiSteps: params move once per k micro-steps."""
+def test_opt_emitted():
     params = _params()
-    hyp = OptHyp(lr0=0.01, warmup_epochs=0.0)
+    hyp = OptHyp(warmup_epochs=0.0)
     tx, _ = build_optimizer(params, hyp, steps_per_epoch=10, epochs=10,
-                            accumulate=4, total_batch_size=16)
+                            accumulate=4, total_batch_size=16,
+                            warmup_min_iters=0)
     state = tx.init(params)
     grads = jax.tree.map(jnp.ones_like, params)
-    moved = []
-    for _ in range(4):
-        updates, state = tx.update(grads, state, params)
-        moved.append(float(jnp.abs(updates["head"]["bias"]).max()) > 0)
-    assert moved == [False, False, False, True]
+    pattern = []
+    for _ in range(8):
+        _, state = tx.update(grads, state, params)
+        pattern.append(bool(opt_emitted(state)))
+    # ni%4==0 emission: ni = 0, 4 within the first 8 micro-steps
+    assert pattern == [True, False, False, False, True,
+                       False, False, False]
+    assert isinstance(state, SGDState)
+    assert int(state.gradient_steps) == 2
+    assert bool(opt_emitted({}))  # non-accumulated states emit always

@@ -76,3 +76,32 @@ def test_gpt_weights_import_matches_fusion_golden():
     np.testing.assert_allclose(np.asarray(o1),
                                z["o1"].transpose(0, 2, 3, 1),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_c3tr_transformer_import_forward_equivalence():
+    """C3TR / TransformerBlock / nn.MultiheadAttention import parity.
+
+    tests/data/c3tr_golden.npz (regenerate: tools/gen_c3tr_golden.py) holds
+    a mini Focus->Conv->C3TR->Detect reference net's torch state_dict, an
+    input batch and its raw eval outputs. Pins the MultiheadAttention
+    parameterization (packed in_proj + out_proj, common.py:60) that was a
+    round-1 param-structure gap."""
+    z = np.load(DATA / "c3tr_golden.npz")
+    cfg = json.loads((DATA / "c3tr_golden_cfg.json").read_text())
+    sd = {k: z[k] for k in z.files if not k.startswith("__")}
+
+    model = build_model(cfg)
+    x = jnp.asarray(z["__input__"].transpose(0, 2, 3, 1))
+    variables = model.init(jax.random.PRNGKey(0), x)
+
+    imported_params, imported_stats = convert_state_dict(sd)
+    params, n_cp, n_tot = partial_load(variables["params"], imported_params)
+    stats, n_cs, _ = partial_load(variables["batch_stats"], imported_stats)
+    assert n_cp == n_tot, f"only {n_cp}/{n_tot} params transferred"
+
+    feats = model.apply({"params": params, "batch_stats": stats}, x,
+                        train=False)
+    for i in range(3):
+        want = z[f"__out{i}__"]
+        got = np.asarray(feats[i]).transpose(0, 3, 1, 2, 4)
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
