@@ -36,11 +36,16 @@ def parse_args(argv=None):
     ap.add_argument("--names", type=str, default="")
     ap.add_argument("--classes", type=int, nargs="*", default=None)
     ap.add_argument("--agnostic-nms", action="store_true")
+    ap.add_argument("--merge-nms", action="store_true",
+                    help="weighted box merging (general.py:530-536)")
     ap.add_argument("--project", type=str, default="runs/detect")
     ap.add_argument("--name", type=str, default="exp")
     ap.add_argument("--exist-ok", action="store_true")
     ap.add_argument("--save-txt", action="store_true")
     ap.add_argument("--save-conf", action="store_true")
+    ap.add_argument("--save-crop", action="store_true",
+                    help="save detection crops (save_one_box, "
+                         "general.py:628)")
     ap.add_argument("--nosave", action="store_true")
     ap.add_argument("--fp32", action="store_true")
     ap.add_argument("--no-fuse", action="store_true",
@@ -101,7 +106,8 @@ def run(args) -> dict:
         return batched_nms(dets, conf_thres=args.conf_thres,
                            iou_thres=args.iou_thres, multi_label=False,
                            agnostic=args.agnostic_nms, max_det=args.max_det,
-                           top_k=1024, class_mask=class_mask)
+                           top_k=1024, class_mask=class_mask,
+                           merge=args.merge_nms)
 
     from ..data.sources import VID_EXTS, MediaSource
 
@@ -159,6 +165,16 @@ def run(args) -> dict:
                 lines.append(" ".join(f"{v:.6g}" if isinstance(v, float) else str(v)
                                       for v in row))
             (save_dir / "labels" / f"{stem}.txt").write_text("\n".join(lines))
+        if args.save_crop:
+            # crops come from the clean image, before box drawing
+            # (detect_twostream.py:94: imc = im0.copy())
+            from ..utils.general import save_one_box
+
+            for k, (b, c) in enumerate(zip(boxes, classes)):
+                save_one_box(
+                    b, im0[:, :, ::-1],
+                    file=save_dir / "crops" / names[int(c)]
+                    / f"{stem}_{k}.jpg")
         if not args.nosave:
             for b, sc, c in zip(boxes, scores, classes):
                 color = PALETTE[int(c) % len(PALETTE)]

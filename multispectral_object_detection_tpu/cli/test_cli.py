@@ -113,8 +113,9 @@ def run(args) -> dict:
             logger.info(f"study @{sz}: mAP50 {r['map50']:.3f}")
         return results
 
+    coco = None
     if args.save_coco:
-        _save_coco_json(fwd, params, stats, loader, ds, args)
+        coco = _save_coco_json(fwd, params, stats, loader, ds, args)
 
     loss_fn = None
     if args.compute_loss:
@@ -127,6 +128,8 @@ def run(args) -> dict:
     res = evaluate(fwd, params, stats, loader, nc=nc,
                    conf_thres=args.conf_thres, iou_thres=args.iou_thres,
                    single_cls=args.single_cls, loss_fn=loss_fn)
+    if coco is not None:
+        res["coco"] = coco
     if "val_loss" in res:
         vb, vo, vc = res["val_loss"]
         logger.info(f"val loss: box {vb:.4f} obj {vo:.4f} cls {vc:.4f}")
@@ -161,6 +164,7 @@ def _save_coco_json(fwd, params, stats, loader, ds, args):
     is_coco = "coco" in str(args.data).lower()
     c91 = coco80_to_coco91_class()
     jdict = []
+    gt_records = []
     img_i = 0
     for batch in loader:
         rgb = batch["rgb"]
@@ -189,9 +193,31 @@ def _save_coco_json(fwd, params, stats, loader, ds, args):
                              round(float(b[3] - b[1]), 3)],
                     "score": round(float(s), 5),
                 })
+            # ground truth in the same native xywh space, for the internal
+            # COCO-protocol cross-check (test.py:262-285 runs pycocotools
+            # here; we evaluate the protocol internally)
+            lab = ds.labels[img_i]
+            h0, w0 = native_hw
+            for row in np.asarray(lab, np.float32).reshape(-1, 5):
+                cls_i = int(row[0])
+                gt_records.append({
+                    "image_id": image_id,
+                    "category_id": c91[cls_i] if is_coco else cls_i,
+                    "bbox": [float((row[1] - row[3] / 2) * w0),
+                             float((row[2] - row[4] / 2) * h0),
+                             float(row[3] * w0), float(row[4] * h0)],
+                })
             img_i += 1
     Path(args.save_coco).write_text(json.dumps(jdict))
     logger.info(f"wrote {len(jdict)} COCO records -> {args.save_coco}")
+
+    from ..utils.cocoeval import coco_eval_bbox
+
+    coco = coco_eval_bbox(gt_records, jdict)
+    logger.info(f"COCO-protocol bbox eval (internal pycocotools-equivalent): "
+                f"AP {coco['AP']:.4f}  AP50 {coco['AP50']:.4f}  "
+                f"AP75 {coco['AP75']:.4f}")
+    return coco
 
 
 def speed_task(fwd, params, stats, loader, args) -> dict:

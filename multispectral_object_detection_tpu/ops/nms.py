@@ -73,7 +73,8 @@ def _nms_single(pred, conf_thres: float, iou_thres: float, nc: int,
                 multi_label: bool, agnostic: bool, max_det: int, top_k: int,
                 class_mask: Optional[jnp.ndarray],
                 labels: Optional[jnp.ndarray] = None,
-                labels_mask: Optional[jnp.ndarray] = None):
+                labels_mask: Optional[jnp.ndarray] = None,
+                merge: bool = False, redundant: bool = True):
     """One image: pred (N, 5+nc) decoded [xywh, obj, cls...] -> Detections.
 
     labels: optional (M, 5) [cls, x, y, w, h] prior labels injected as
@@ -124,8 +125,23 @@ def _nms_single(pred, conf_thres: float, iou_thres: float, nc: int,
     shifted = bxs + offset[:, None]
     idxs, vals = _suppress(shifted, scores, iou_thres, max_det)
 
+    out_boxes = bxs[idxs]
+    if merge:
+        # weighted box merging (general.py:530-536): each kept box becomes
+        # the score-weighted mean of ALL candidates overlapping it above
+        # iou_thres (in class-offset space); `redundant` drops kept boxes
+        # with no supporting neighbor
+        cand_w = jnp.where(scores > 0.0, scores, 0.0)          # (K,)
+        iou_km = pairwise_iou(shifted[idxs], shifted)           # (max_det, K)
+        sup = iou_km > iou_thres
+        w = sup.astype(jnp.float32) * cand_w[None, :]           # (max_det, K)
+        denom = jnp.maximum(w.sum(axis=1, keepdims=True), 1e-9)
+        out_boxes = (w @ bxs) / denom
+        if redundant:
+            vals = vals & (sup.sum(axis=1) > 1)
+
     return Detections(
-        boxes=jnp.where(vals[:, None], bxs[idxs], 0.0),
+        boxes=jnp.where(vals[:, None], out_boxes, 0.0),
         scores=jnp.where(vals, scores[idxs], 0.0),
         classes=jnp.where(vals, cls[idxs], 0),
         valid=vals,
@@ -135,26 +151,30 @@ def _nms_single(pred, conf_thres: float, iou_thres: float, nc: int,
 @functools.partial(
     jax.jit,
     static_argnames=("conf_thres", "iou_thres", "nc", "multi_label",
-                     "agnostic", "max_det", "top_k"),
+                     "agnostic", "max_det", "top_k", "merge", "redundant"),
 )
 def batched_nms(pred, *, conf_thres: float = 0.25, iou_thres: float = 0.45,
                 nc: Optional[int] = None, multi_label: bool = False,
                 agnostic: bool = False, max_det: int = 300,
                 top_k: int = 4096, class_mask=None, labels=None,
-                labels_mask=None) -> Detections:
+                labels_mask=None, merge: bool = False,
+                redundant: bool = True) -> Detections:
     """Batched NMS on decoded predictions (B, N, 5+nc).
 
     class_mask: optional (nc,) bool array — keep only these classes (the
     reference's `classes` filter, general.py:510-511).
     labels/labels_mask: optional (B, M, 5)/(B, M) prior labels for the
     autolabelling (`save_hybrid`) path.
+    merge: weighted box merging, general.py:530-536 (`redundant` drops
+    merged boxes without a supporting neighbor, like the reference).
     """
     if nc is None:
         nc = pred.shape[-1] - 5
     fn = functools.partial(_nms_single, conf_thres=conf_thres,
                            iou_thres=iou_thres, nc=nc, multi_label=multi_label,
                            agnostic=agnostic, max_det=max_det, top_k=top_k,
-                           class_mask=class_mask)
+                           class_mask=class_mask, merge=merge,
+                           redundant=redundant)
     if labels is not None:
         return jax.vmap(fn)(pred.astype(jnp.float32),
                             labels=labels.astype(jnp.float32),

@@ -40,7 +40,7 @@ def _rescale_to_native(boxes: np.ndarray, canvas_hw, native_hw, ratio_pad):
 def evaluate(forward: Callable, params, batch_stats, loader, nc: int, *,
              conf_thres: float = 0.001, iou_thres: float = 0.6,
              single_cls: bool = False, max_det: int = 300,
-             top_k: int = 8192, loss_fn=None,
+             top_k: int = 30000, loss_fn=None,
              verbose: bool = False) -> Dict[str, object]:
     """Run the full eval protocol; returns the summarize_stats dict plus
     speed counters (+val loss components when loss_fn given)."""
@@ -57,8 +57,8 @@ def evaluate(forward: Callable, params, batch_stats, loader, nc: int, *,
         dets_flat, feats = forward(params, batch_stats, rgb, ir)
         dets_flat = jax.block_until_ready(dets_flat)
         t1 = time.perf_counter()
-        # wide candidate pool for the low-conf eval protocol (the reference
-        # admits up to 30k pre-NMS boxes, general.py:469)
+        # full reference-width candidate pool: up to 30k pre-NMS boxes at
+        # conf 0.001 (general.py:521-522)
         det = batched_nms(dets_flat, conf_thres=conf_thres,
                           iou_thres=iou_thres, multi_label=not single_cls,
                           agnostic=single_cls, max_det=max_det, top_k=top_k)

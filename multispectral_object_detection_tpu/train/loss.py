@@ -55,6 +55,16 @@ def _bce_logits(logits, targets, pos_weight: float = 1.0):
     return -(pos_weight * targets * log_p + (1.0 - targets) * log_not_p)
 
 
+def bce_blur_with_logits(logits, targets, alpha: float = 0.05):
+    """BCEBlurWithLogitsLoss (utils/loss.py:15-30): BCE downweighted where
+    the prediction overshoots the target (reduces missing-label effects).
+    Returns the mean, like the reference's reduction."""
+    loss = _bce_logits(logits, targets)
+    dx = jax.nn.sigmoid(logits) - targets
+    alpha_factor = 1.0 - jnp.exp((dx - 1.0) / (alpha + 1e-4))
+    return jnp.mean(loss * alpha_factor)
+
+
 def _focal_scale(logits, targets, gamma: float, alpha: float = 0.25):
     """TF-style focal modulation (utils/loss.py:42-52)."""
     p = jax.nn.sigmoid(logits)

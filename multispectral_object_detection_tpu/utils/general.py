@@ -93,3 +93,61 @@ def coco80_to_coco91_class():
             41, 42, 43, 44, 46, 47, 48, 49, 50, 51, 52, 53, 54, 55, 56, 57, 58,
             59, 60, 61, 62, 63, 64, 65, 67, 70, 72, 73, 74, 75, 76, 77, 78, 79,
             80, 81, 82, 84, 85, 86, 87, 88, 89, 90]
+
+
+def save_one_box(xyxy, im, file="image.jpg", gain: float = 1.02,
+                 pad: int = 10, square: bool = False, bgr: bool = False,
+                 save: bool = True) -> np.ndarray:
+    """Crop a detection from `im` (HWC RGB) with the reference's margin rule
+    (general.py:628-640): box wh * gain + pad px, optional square. Returns
+    the crop; writes a .jpg when `save`.
+    """
+    import cv2
+
+    x1, y1, x2, y2 = [float(v) for v in xyxy]
+    cx, cy = (x1 + x2) / 2.0, (y1 + y2) / 2.0
+    w, h = x2 - x1, y2 - y1
+    if square:
+        w = h = max(w, h)
+    w, h = w * gain + pad, h * gain + pad
+    x1, x2 = int(cx - w / 2), int(cx + w / 2)
+    y1, y2 = int(cy - h / 2), int(cy + h / 2)
+    x1, x2 = max(x1, 0), min(x2, im.shape[1])
+    y1, y2 = max(y1, 0), min(y2, im.shape[0])
+    crop = im[y1:y2, x1:x2]
+    if save and crop.size:
+        p = Path(file).with_suffix(".jpg")
+        p.parent.mkdir(parents=True, exist_ok=True)
+        cv2.imwrite(str(p), crop if bgr else crop[..., ::-1])
+    return crop
+
+
+def apply_classifier(boxes, classes, im0, classify_fn, size: int = 224):
+    """Second-stage classifier filter (general.py:593-626).
+
+    boxes: (N, 4) xyxy in `im0` (HWC RGB) native space; classes: (N,) int.
+    classify_fn: callable (N, size, size, 3) float32 RGB in [0,1] -> (N,)
+    predicted class ids (argmax already taken) or (N, nc) logits.
+    Returns a bool keep-mask: detections whose classifier prediction agrees
+    with the detected class, after the reference's square 1.3x + 30 px
+    cutout rule.
+    """
+    import cv2
+
+    n = len(boxes)
+    if n == 0:
+        return np.zeros((0,), dtype=bool)
+    ims = np.zeros((n, size, size, 3), np.float32)
+    for j, b in enumerate(np.asarray(boxes, np.float32)):
+        cx, cy = (b[0] + b[2]) / 2, (b[1] + b[3]) / 2
+        s = max(b[2] - b[0], b[3] - b[1]) * 1.3 + 30  # square + pad
+        x1 = int(max(cx - s / 2, 0)); y1 = int(max(cy - s / 2, 0))
+        x2 = int(min(cx + s / 2, im0.shape[1]))
+        y2 = int(min(cy + s / 2, im0.shape[0]))
+        cut = im0[y1:y2, x1:x2]
+        if cut.size:
+            ims[j] = cv2.resize(cut, (size, size)).astype(np.float32) / 255.0
+    pred = np.asarray(classify_fn(ims))
+    if pred.ndim == 2:
+        pred = pred.argmax(axis=1)
+    return pred.astype(int) == np.asarray(classes).astype(int)
