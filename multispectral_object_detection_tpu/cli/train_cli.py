@@ -69,6 +69,17 @@ def parse_args(argv=None):
     ap.add_argument("--compute-val-loss", action="store_true",
                     help="also report box/obj/cls loss on the val split "
                          "(test.py:122-123)")
+    ap.add_argument("--rect", action="store_true",
+                    help="rectangular training: aspect-bucketed batches, "
+                         "mosaic off (train.py:930)")
+    ap.add_argument("--image-weights", action="store_true",
+                    help="class-frequency-weighted image resampling per "
+                         "epoch (train.py:690-699)")
+    ap.add_argument("--wandb", action="store_true",
+                    help="enable W&B logging (no-op if not installed)")
+    ap.add_argument("--upload-dataset", action="store_true",
+                    help="log the dataset as a W&B artifact "
+                         "(wandb_utils.py:166)")
     ap.add_argument("--multi-scale", action="store_true",
                     help="vary train image size +/-50%% per batch over a "
                          "stride-64 ladder (train.py:747; each size is one "
@@ -100,8 +111,8 @@ def run(args) -> dict:
     from ..train.trainer import create_train_state, make_eval_forward
     from ..utils.checkpoint import (load_checkpoint, save_checkpoint,
                                     strip_checkpoint)
-    from ..utils.general import (check_img_size, increment_path, init_seeds,
-                                 set_logging)
+    from ..utils.general import (check_dataset, check_file, check_img_size,
+                                 increment_path, init_seeds, set_logging)
     from ..utils.metrics import fitness
 
     set_logging()
@@ -111,7 +122,11 @@ def run(args) -> dict:
     save_dir.mkdir(parents=True, exist_ok=True)
     logger.info(f"run dir: {save_dir}")
 
+    args.data = check_file(args.data)  # recursive search (general.py:152)
+    if str(args.cfg).endswith((".yaml", ".yml")):
+        args.cfg = check_file(args.cfg)
     data = load_data_cfg(args.data)
+    check_dataset(data)  # verify val paths / attempt autodownload recipe
     nc = 1 if args.single_cls else int(data["nc"])
     two_stream = "train_ir" in data
     img_size = check_img_size(args.img_size, 32)
@@ -124,7 +139,7 @@ def run(args) -> dict:
     train_ds = PairedDetectionDataset.from_sources(
         data["train_rgb"] if two_stream else data["train"],
         data.get("train_ir"), img_size=img_size, augment=True, hyp=hyp,
-        nc=nc if not args.single_cls else None,
+        nc=nc if not args.single_cls else None, rect=args.rect,
         cache_dir=str(save_dir / "cache"), cache_images=args.cache_images)
 
     # ---- model -------------------------------------------------------------
@@ -163,6 +178,7 @@ def run(args) -> dict:
             "--device-aug supports the separable (scale/translate) affine only"
     loader = BatchLoader(train_ds, args.batch_size, shuffle=True,
                          seed=args.seed, max_labels=args.max_labels,
+                         image_weights=args.image_weights,
                          device_aug=args.device_aug,
                          max_labels_per_tile=max(args.max_labels // 4, 10))
     steps_per_epoch = len(loader)
@@ -212,6 +228,18 @@ def run(args) -> dict:
                 f"accumulate={accumulate}")
 
     start_epoch, best_fitness = 0, 0.0
+    if str(args.resume).startswith("wandb-artifact://"):
+        # resume-from-artifact (wandb_utils.py:110-135)
+        local = xlog_resume = None
+        from ..utils.loggers import ExperimentLogger as _EL
+
+        xlog_resume = _EL(str(save_dir), enable_tb=False,
+                          enable_wandb=True, run_name=args.name)
+        local = xlog_resume.resume_from_artifact(
+            args.resume, str(save_dir / "artifact"))
+        if local is None:
+            raise RuntimeError(f"could not fetch artifact {args.resume}")
+        args.resume = local
     if args.resume:
         state, meta = load_checkpoint(args.resume, state)
         start_epoch = meta.get("epoch", -1) + 1
@@ -255,7 +283,10 @@ def run(args) -> dict:
     from ..utils.plots import plot_batch, plot_labels, plot_results
 
     xlog = ExperimentLogger(str(save_dir), enable_tb=not args.nosave,
-                            config=vars(args), run_name=args.name)
+                            enable_wandb=args.wandb, config=vars(args),
+                            run_name=args.name)
+    if args.upload_dataset:
+        xlog.log_dataset_artifact(data, name=Path(args.data).stem)
     if not args.nosave:
         try:
             plot_labels(train_ds.labels, data.get("names", []), str(save_dir))
@@ -374,6 +405,10 @@ def run(args) -> dict:
             if args.save_period > 0 and epoch % args.save_period == 0:
                 save_checkpoint(save_dir / f"epoch{epoch}", state, epoch=epoch,
                                 best_fitness=best_fitness)
+                # model artifact per save_period (wandb_utils.py:203-215)
+                xlog.log_model(save_dir / f"epoch{epoch}", epoch, fi,
+                               best=fi >= best_fitness,
+                               save_period=args.save_period)
 
     xlog.close()
     if not args.nosave:

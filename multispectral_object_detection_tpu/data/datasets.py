@@ -144,7 +144,9 @@ class PairedDetectionDataset:
         self.labels = load_labels_cached(self.rgb_files, cache_dir, nc)
         self.pad = pad
         self.scaleup_eval = scaleup_eval
-        self.rect = rect and not augment
+        # rect training disables mosaic, not augmentation (reference:
+        # `self.mosaic = self.augment and not self.rect`, datasets.py:858)
+        self.rect = bool(rect)
         self.stride = stride
         # RAM cache of decoded+scaled pairs (reference --cache-images,
         # datasets.py:619-630); keyed by index, filled lazily
@@ -244,7 +246,8 @@ class PairedDetectionDataset:
         rng = rng or random
         hyp = self.hyp
         s = self.img_size
-        use_mosaic = self.augment and rng.random() < hyp.get("mosaic", 1.0)
+        use_mosaic = (self.augment and not self.rect
+                      and rng.random() < hyp.get("mosaic", 1.0))
 
         if use_mosaic:
             idxs = [i] + [rng.randint(0, len(self) - 1) for _ in range(3)]

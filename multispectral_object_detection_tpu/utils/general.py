@@ -151,3 +151,105 @@ def apply_classifier(boxes, classes, im0, classify_fn, size: int = 224):
     if pred.ndim == 2:
         pred = pred.argmax(axis=1)
     return pred.astype(int) == np.asarray(classes).astype(int)
+
+
+def check_file(file: str) -> str:
+    """Return `file` if it exists, else search for it recursively
+    (general.py:152-161)."""
+    if file == "" or Path(file).is_file():
+        return file
+    files = glob.glob("./**/" + str(file), recursive=True)
+    assert len(files), f"File Not Found: {file}"
+    assert len(files) == 1, \
+        f"Multiple files match '{file}', specify exact path: {files}"
+    return files[0]
+
+
+def check_dataset(data: dict, autodownload: bool = True):
+    """Verify the dataset's val paths exist; attempt the YAML's `download`
+    recipe if not (general.py:163-183). Handles both the single-stream
+    (`val`) and two-stream (`val_rgb`/`val_ir`) key planes.
+
+    NOTE: in a zero-egress environment downloads will fail — the error
+    surface (which paths are missing, what the recipe was) is the point.
+    """
+    import subprocess
+
+    vals = []
+    for key in ("val", "val_rgb", "val_ir"):
+        v = data.get(key)
+        if v:
+            vals += v if isinstance(v, list) else [v]
+    if not vals:
+        return
+    missing = [str(Path(x).resolve()) for x in vals
+               if not Path(x).exists()]
+    if not missing:
+        return
+    logging.warning(f"Dataset not found, nonexistent paths: {missing}")
+    s = data.get("download")
+    if not (s and autodownload):
+        raise FileNotFoundError(f"Dataset not found: {missing}")
+    if str(s).startswith("http") and str(s).endswith(".zip"):
+        import urllib.request
+
+        f = Path(str(s)).name
+        logging.info(f"Downloading {s} ...")
+        urllib.request.urlretrieve(str(s), f)
+        r = subprocess.run(["unzip", "-q", f, "-d", ".."]).returncode
+        Path(f).unlink(missing_ok=True)
+    elif str(s).startswith("bash "):
+        logging.info(f"Running {s} ...")
+        r = subprocess.run(str(s), shell=True).returncode
+    else:
+        exec(str(s))
+        r = 0
+    if r != 0:
+        raise RuntimeError(f"dataset autodownload failed (rc={r})")
+    still = [x for x in missing if not Path(x).exists()]
+    if still:
+        raise FileNotFoundError(f"Dataset still missing after download: "
+                                f"{still}")
+
+
+def check_requirements(requirements=("jax", "flax", "optax", "numpy",
+                                     "yaml", "cv2"), exclude=()):
+    """Verify importability of the runtime deps (general.py:101-127).
+
+    The reference auto-pip-installs missing packages; this environment is
+    zero-egress, so missing deps are reported, never installed.
+    """
+    import importlib
+
+    missing = []
+    for r in requirements:
+        if r in exclude:
+            continue
+        try:
+            importlib.import_module(r)
+        except ImportError:
+            missing.append(r)
+    if missing:
+        logging.warning(f"check_requirements: missing packages {missing} "
+                        f"(no auto-install in this environment)")
+    return missing
+
+
+def check_git_status(repo_dir: str = "."):
+    """Warn if the local git checkout is behind its remote
+    (general.py:79-98). Network-free degradation: reports local status
+    only when the remote is unreachable."""
+    import subprocess
+
+    try:
+        out = subprocess.run(["git", "-C", str(repo_dir), "status",
+                              "--porcelain", "-b"], capture_output=True,
+                             text=True, timeout=10)
+        head = out.stdout.splitlines()[0] if out.stdout else ""
+        if "behind" in head:
+            logging.warning(f"check_git_status: {head} — "
+                            f"`git pull` to update")
+        return head
+    except Exception as e:  # no git / not a repo
+        logging.info(f"check_git_status skipped: {e}")
+        return ""

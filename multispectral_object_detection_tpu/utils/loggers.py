@@ -78,6 +78,86 @@ class ExperimentLogger:
             s.update({f"x/{k}": v for k, v in lrs.items()})
         self.log_scalars(s, epoch)
 
+    # ---- W&B artifact surface (utils/wandb_logging/wandb_utils.py:80-306) --
+    # Every method no-ops without an active wandb run.
+
+    def log_dataset_artifact(self, data: dict, name: str = "dataset"):
+        """Dataset-as-artifact (wandb_utils.py:166-201): the dataset YAML
+        plus per-split image directory references."""
+        if self.wandb_run is None:
+            return None
+        import wandb
+
+        art = wandb.Artifact(name, type="dataset",
+                             metadata={k: v for k, v in data.items()
+                                       if isinstance(v, (int, str, list))})
+        for key in ("train_rgb", "train_ir", "val_rgb", "val_ir", "train",
+                    "val"):
+            d = data.get(key)
+            if d and Path(str(d)).is_dir():
+                art.add_reference("file://" + str(Path(d).resolve()),
+                                  name=key)
+        self.wandb_run.log_artifact(art)
+        return art
+
+    def log_model(self, ckpt_dir: str, epoch: int, fitness: float,
+                  best: bool = False, save_period: int = -1):
+        """Model checkpoint artifact per save_period + aliases
+        (wandb_utils.py:203-215)."""
+        if self.wandb_run is None:
+            return None
+        if save_period > 0 and epoch % save_period != 0 and not best:
+            return None
+        import wandb
+
+        art = wandb.Artifact(f"run_{self.wandb_run.id}_model", type="model",
+                             metadata={"epoch": epoch, "fitness": fitness})
+        art.add_dir(str(ckpt_dir))
+        aliases = ["latest", f"epoch{epoch}"] + (["best"] if best else [])
+        self.wandb_run.log_artifact(art, aliases=aliases)
+        return art
+
+    def log_bbox_debug_images(self, images, detections, names,
+                              key: str = "Bounding Box Debugger/Images",
+                              max_images: int = 16):
+        """Validation bbox debug panels (wandb_utils.py:226-244,
+        test.py:160-170). images: (B, H, W, 3) uint8; detections: list of
+        (boxes xyxy, scores, classes) per image."""
+        if self.wandb_run is None:
+            return
+        import wandb
+
+        panels = []
+        for i, (img, det) in enumerate(zip(images, detections)):
+            if i >= max_images:
+                break
+            boxes, scores, classes = det
+            box_data = [{
+                "position": {"minX": float(b[0]), "minY": float(b[1]),
+                             "maxX": float(b[2]), "maxY": float(b[3])},
+                "class_id": int(c),
+                "box_caption": f"{names[int(c)]} {s:.3f}",
+                "scores": {"class_score": float(s)},
+                "domain": "pixel",
+            } for b, s, c in zip(boxes, scores, classes)]
+            panels.append(wandb.Image(img, boxes={
+                "predictions": {"box_data": box_data,
+                                "class_labels": dict(enumerate(names))}}))
+        self.wandb_run.log({key: panels})
+
+    def resume_from_artifact(self, path: str, out_dir: str) -> Optional[str]:
+        """Download a `wandb-artifact://` model for --resume
+        (wandb_utils.py:110-135). Returns the local checkpoint dir."""
+        if not str(path).startswith("wandb-artifact://"):
+            return None
+        import wandb
+
+        api_path = str(path)[len("wandb-artifact://"):]
+        art = (self.wandb_run.use_artifact(api_path)
+               if self.wandb_run is not None
+               else wandb.Api().artifact(api_path))
+        return art.download(root=str(out_dir))
+
     def close(self):
         if self.tb is not None:
             self.tb.close()

@@ -1,0 +1,293 @@
+"""Cross-framework accuracy-parity harness (VERDICT round-1 item 3).
+
+Runs BOTH frameworks on the same synthetic paired RGB/IR dataset:
+
+(a) RECIPE parity — trains the reference (train.py:472 `train_rgb_ir`,
+    torch-cpu, torchvision stubbed) and this repo's trainer with identical
+    config / hyps / epochs / image size, comparing each side's final
+    self-evaluated mAP.
+(b) EVAL parity — imports the reference's trained weights into this
+    framework (utils/torch_import) and evaluates them with OUR evaluator on
+    the same val set; the reference's own in-train `test.test` result on
+    the identical weights is the other side. |Δ mAP50| < 0.1 pt is the
+    acceptance bar.
+
+Usage:
+    python tools/parity_harness.py --epochs 40 --img 160 --out /tmp/parity
+
+Writes a markdown summary to <out>/PARITY.md. This is an offline tool (a
+reference CPU training run takes minutes), not a unit test; recorded
+results live in PERF.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import yaml
+
+REPO = Path(__file__).resolve().parent.parent
+REF = "/root/reference"
+
+
+def _stub_torchvision():
+    tv = types.ModuleType("torchvision")
+    tvo = types.ModuleType("torchvision.ops")
+
+    def _nms(boxes, scores, thr):
+        import torch
+
+        order = scores.argsort(descending=True)
+        keep = []
+        while order.numel():
+            i = order[0]
+            keep.append(i.item())
+            if order.numel() == 1:
+                break
+            b = boxes[order[1:]]
+            tl = torch.maximum(boxes[i, :2], b[:, :2])
+            br = torch.minimum(boxes[i, 2:], b[:, 2:])
+            inter = (br - tl).clamp(0).prod(1)
+            a1 = (boxes[i, 2:] - boxes[i, :2]).prod()
+            a2 = (b[:, 2:] - b[:, :2]).prod(1)
+            iou = inter / (a1 + a2 - inter)
+            order = order[1:][iou <= thr]
+        return torch.as_tensor(keep, dtype=torch.long)
+
+    tvo.nms = _nms
+    tv.ops = tvo
+    sys.modules.setdefault("torchvision", tv)
+    sys.modules.setdefault("torchvision.ops", tvo)
+
+
+def make_data(out: Path, n_train: int, n_val: int, img: int):
+    sys.path.insert(0, str(REPO))
+    from multispectral_object_detection_tpu.data.synthetic import (
+        make_paired_dataset)
+
+    tr_rgb, tr_ir = make_paired_dataset(str(out / "train"), n_images=n_train,
+                                        img_size=img, nc=2, seed=11)
+    va_rgb, va_ir = make_paired_dataset(str(out / "val"), n_images=n_val,
+                                        img_size=img, nc=2, seed=23)
+    data = {"train_rgb": tr_rgb, "train_ir": tr_ir,
+            "val_rgb": va_rgb, "val_ir": va_ir,
+            "nc": 2, "names": ["red", "blue"]}
+    dy = out / "data.yaml"
+    dy.write_text(yaml.safe_dump(data))
+    return dy
+
+
+def dump_cfg(out: Path) -> Path:
+    """Our DSL dict doubles as a reference-format YAML (same schema)."""
+    from multispectral_object_detection_tpu.models.configs import get_config
+
+    cfg = get_config("yolov5n_fusion_add", nc=2)
+    p = out / "model.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    return p
+
+
+def run_reference(out: Path, data_yaml: Path, cfg_yaml: Path, epochs: int,
+                  batch: int, img: int, notest: bool = False):
+    """train.py:472 train_rgb_ir under torch-cpu. Returns (results, sd_npz).
+
+    results = (mp, mr, map50, map75, map, ...) from the final in-train
+    test.test() on EMA weights — the reference evaluator's own numbers.
+    """
+    _stub_torchvision()
+    # numpy>=1.24 removed the deprecated scalar aliases the reference uses
+    for alias, repl in (("int", int), ("float", float), ("bool", bool),
+                        ("object", object)):
+        if not hasattr(np, alias):
+            setattr(np, alias, repl)
+    sys.path.insert(0, REF)
+    import torch
+
+    # torch>=1.12 rejects float bounds on integer clamp_ (utils/loss.py:211
+    # clamps long grid indices with a float `gain` tensor) — cast the bounds
+    # for integer tensors, preserving semantics (grid sizes are integral)
+    _orig_clamp_ = torch.Tensor.clamp_
+
+    def _clamp_compat(self, min=None, max=None):
+        if not torch.is_floating_point(self):
+            if isinstance(min, torch.Tensor):
+                min = int(min.item())
+            if isinstance(max, torch.Tensor):
+                max = int(max.item())
+        return _orig_clamp_(self, min=min, max=max)
+
+    torch.Tensor.clamp_ = _clamp_compat
+
+    # torch>=2.6 defaults weights_only=True; the reference pickles whole
+    # nn.Modules in its checkpoints (train.py:850-866) — trusted local files
+    _orig_load = torch.load
+
+    def _load_compat(*a, **k):
+        k.setdefault("weights_only", False)
+        return _orig_load(*a, **k)
+
+    torch.load = _load_compat
+
+    import global_var
+    global_var._init()
+    global_var.set_value("flag_visual_training_dataset", False)
+
+    import train as ref_train
+
+    hyp = yaml.safe_load(Path(REF, "data/hyp.scratch.yaml").read_text())
+
+    save_dir = out / "ref_run"
+    opt = argparse.Namespace(
+        weights="", cfg=str(cfg_yaml), data=str(data_yaml),
+        hyp=str(Path(REF, "data/hyp.scratch.yaml")), epochs=epochs,
+        batch_size=batch, total_batch_size=batch, img_size=[img, img],
+        rect=False, resume=False, nosave=False, notest=notest,
+        noautoanchor=True, evolve=False, bucket="", cache_images=False,
+        image_weights=False, device="cpu", multi_scale=False,
+        single_cls=False, adam=False, sync_bn=False, local_rank=-1,
+        workers=0, project=str(out), entity=None, name="ref_run",
+        exist_ok=True, quad=False, linear_lr=False, label_smoothing=0.0,
+        upload_dataset=False, bbox_interval=-1, save_period=-1,
+        artifact_alias="latest", world_size=1, global_rank=-1,
+        save_dir=str(save_dir), log_imgs=0,
+    )
+    device = torch.device("cpu")
+    results = ref_train.train_rgb_ir(hyp, opt, device, tb_writer=None)
+
+    ckpt = torch.load(save_dir / "weights" / "last.pt", map_location="cpu")
+    model = ckpt["ema"] if ckpt.get("ema") is not None else ckpt["model"]
+    sd = {k: v.float().numpy() for k, v in model.float().state_dict().items()}
+    npz = out / "ref_weights.npz"
+    np.savez(npz, **sd)
+    return results, npz
+
+
+def run_ours(out: Path, data_yaml: Path, epochs: int, batch: int, img: int):
+    from multispectral_object_detection_tpu.cli.train_cli import main
+
+    res = main([
+        "--cfg", "yolov5n_fusion_add", "--data", str(data_yaml),
+        "--epochs", str(epochs), "--batch-size", str(batch),
+        "--img-size", str(img), "--project", str(out / "ours"),
+        "--name", "run", "--fp32", "--max-labels", "60", "--noautoanchor",
+    ])
+    return res
+
+
+def eval_imported(out: Path, data_yaml: Path, npz: Path, batch: int,
+                  img: int):
+    """OUR evaluator on the reference's weights (eval-parity side b)."""
+    import jax
+    import jax.numpy as jnp
+
+    from multispectral_object_detection_tpu.data.datasets import (
+        BatchLoader, PairedDetectionDataset)
+    from multispectral_object_detection_tpu.models import build_model
+    from multispectral_object_detection_tpu.models.configs import get_config
+    from multispectral_object_detection_tpu.train.evaluator import evaluate
+    from multispectral_object_detection_tpu.train.trainer import (
+        make_eval_forward)
+    from multispectral_object_detection_tpu.utils.checkpoint import (
+        partial_load)
+    from multispectral_object_detection_tpu.utils.torch_import import (
+        convert_state_dict, load_npz_state_dict)
+
+    data = yaml.safe_load(Path(data_yaml).read_text())
+    model = build_model(get_config("yolov5n_fusion_add", nc=2),
+                        dtype=jnp.float32)
+    x = jnp.zeros((1, img, img, 3), jnp.float32)
+    variables = jax.jit(
+        lambda r, a, b: model.init(r, a, b, train=False))(
+            jax.random.PRNGKey(0), x, x)
+
+    sd = load_npz_state_dict(str(npz))
+    ip, istats = convert_state_dict(sd)
+    params, n_c, n_t = partial_load(variables["params"], ip)
+    stats, n_cs, _ = partial_load(variables.get("batch_stats", {}), istats)
+    print(f"imported {n_c}/{n_t} params, {n_cs} stats tensors")
+
+    ds = PairedDetectionDataset.from_sources(
+        data["val_rgb"], data["val_ir"], img_size=img, augment=False,
+        rect=True, pad=0.5, nc=2)
+    loader = BatchLoader(ds, batch, shuffle=False, max_labels=60,
+                         drop_last=False)
+    fwd = make_eval_forward(model, two_stream=True)
+    res = evaluate(fwd, params, stats, loader, nc=2)
+    return res, (n_c, n_t)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=40)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--img", type=int, default=160)
+    ap.add_argument("--n-train", type=int, default=32)
+    ap.add_argument("--n-val", type=int, default=16)
+    ap.add_argument("--out", type=str, default="/tmp/parity")
+    ap.add_argument("--skip-ours", action="store_true")
+    ap.add_argument("--notest", action="store_true",
+                    help="reference: eval only at the final epoch")
+    args = ap.parse_args()
+
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    data_yaml = make_data(out, args.n_train, args.n_val, args.img)
+    cfg_yaml = dump_cfg(out)
+
+    ref_results, npz = run_reference(out, data_yaml, cfg_yaml, args.epochs,
+                                     args.batch, args.img,
+                                     notest=args.notest)
+    mp, mr, map50, map75, mAP = [float(v) for v in ref_results[:5]]
+    print(f"reference final: P {mp:.3f} R {mr:.3f} mAP50 {map50:.4f} "
+          f"mAP {mAP:.4f}")
+
+    ours = None
+    if not args.skip_ours:
+        ours = run_ours(out, data_yaml, args.epochs, args.batch, args.img)
+        print(f"ours final: mAP50 {ours['map50']:.4f} mAP {ours['map']:.4f}")
+
+    imp, (n_c, n_t) = eval_imported(out, data_yaml, npz, args.batch,
+                                    args.img)
+    print(f"our evaluator on reference weights: mAP50 {imp['map50']:.4f} "
+          f"mAP {imp['map']:.4f}")
+
+    lines = [
+        "# Cross-framework parity (synthetic paired dataset)",
+        "",
+        f"dataset: {args.n_train} train / {args.n_val} val @{args.img}px, "
+        f"nc=2; cfg yolov5n_fusion_add; {args.epochs} epochs, batch "
+        f"{args.batch}, hyp.scratch",
+        "",
+        "| side | mAP50 | mAP | note |",
+        "|---|---|---|---|",
+        f"| reference train+eval (torch-cpu) | {map50:.4f} | {mAP:.4f} | "
+        f"test.test on EMA |",
+    ]
+    if ours is not None:
+        lines.append(f"| ours train+eval | {ours['map50']:.4f} | "
+                     f"{ours['map']:.4f} | same data/hyps/epochs |")
+    lines += [
+        f"| OUR eval of REFERENCE weights | {imp['map50']:.4f} | "
+        f"{imp['map']:.4f} | imported {n_c}/{n_t} tensors |",
+        "",
+        f"eval-parity delta (same weights): "
+        f"|Δ mAP50| = {abs(imp['map50'] - map50) * 100:.2f} pts "
+        f"(bar: < 0.1 pt... on identical weights)",
+    ]
+    (out / "PARITY.md").write_text("\n".join(lines))
+    print("\n".join(lines))
+    (out / "summary.json").write_text(json.dumps({
+        "ref": {"map50": map50, "map": mAP},
+        "ours": ({"map50": ours["map50"], "map": ours["map"]}
+                 if ours else None),
+        "ours_on_ref_weights": {"map50": imp["map50"], "map": imp["map"]},
+    }, default=float))
+
+
+if __name__ == "__main__":
+    main()
