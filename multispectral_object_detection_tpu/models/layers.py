@@ -93,6 +93,15 @@ class Focus(nn.Module):
     """Space-to-depth 2x (4-way pixel deinterleave concat) + Conv (common.py:168).
 
     NHWC: x (B, H, W, C) -> (B, H/2, W/2, 4C) -> Conv.
+
+    In the fused inference path the whole module is rewritten as ONE
+    k*2 x k*2 stride-2 convolution directly on the input — exactly
+    equivalent (the deinterleave is a bijection between the (2a+dy, 2b+dx)
+    taps of the big kernel and the (a, b) taps of the small kernel on
+    channel block dy+2*dx), but avoids materializing four strided slices +
+    a concat of the full-resolution input, which is pure HBM traffic at
+    P1. Training keeps the slice form so golden tests and the torch
+    importer see the reference layout.
     """
 
     c2: int
@@ -106,6 +115,10 @@ class Focus(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if (FOCUS_STEM_CONV and self.fused and self.s == 1 and self.g == 1
+                and self.p is None):
+            return _FocusStemConv(self.c2, self.k, self.act,
+                                  dtype=self.dtype, name="conv")(x)
         x = jnp.concatenate(
             [x[:, ::2, ::2, :], x[:, 1::2, ::2, :], x[:, ::2, 1::2, :], x[:, 1::2, 1::2, :]],
             axis=-1,
@@ -113,6 +126,56 @@ class Focus(nn.Module):
         return ConvBnAct(self.c2, self.k, self.s, self.p, self.g, self.act,
                          dtype=self.dtype, fused=self.fused,
                          name="conv")(x, train=train)
+
+
+# perf A/B toggle for the fused-Focus single-conv rewrite (bench only)
+FOCUS_STEM_CONV = True
+
+
+class _RawConvParams(nn.Module):
+    """Bare conv kernel+bias leaves (placed to mirror nn.Conv's tree)."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            self.shape, jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.shape[-1],),
+                          jnp.float32)
+        return kernel, bias
+
+
+class _FocusStemConv(nn.Module):
+    """The fused Focus: kernel stored in the (k, k, 4C, c2) deinterleave
+    layout, applied as ONE (2k, 2k, C, c2) stride-2 conv. Param tree matches
+    ConvBnAct(fused=True) — focus/conv/conv/{kernel, bias} — so
+    fuse_conv_bn / the torch importer need no special casing."""
+
+    c2: int
+    k: int
+    act: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c_in = x.shape[-1]
+        k = self.k
+        kernel, bias = _RawConvParams((k, k, 4 * c_in, self.c2),
+                                      name="conv")()
+        # (k, k, 4C, O) -> (a, b, dx, dy, C, O) -> (2k, 2k, C, O):
+        # big-kernel tap (u, v) = (2a + dy, 2b + dx) reads the original
+        # pixel the deinterleave block dy + 2*dx placed at (a, b)
+        k6 = kernel.reshape(k, k, 2, 2, c_in, self.c2)
+        k6 = k6.transpose(0, 3, 1, 2, 4, 5).reshape(2 * k, 2 * k, c_in,
+                                                    self.c2)
+        pad = 2 * (k // 2)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), k6.astype(self.dtype),
+            window_strides=(2, 2), padding=[(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = y + bias.astype(self.dtype)
+        return nn.silu(y) if self.act else y
 
 
 class Bottleneck(nn.Module):

@@ -231,7 +231,11 @@ def main():
     ap.add_argument("--out", type=str, default="/tmp/parity")
     ap.add_argument("--skip-ours", action="store_true")
     ap.add_argument("--notest", action="store_true",
-                    help="reference: eval only at the final epoch")
+                    help="reference: eval only at the final epoch. NOTE: "
+                         "the reference's own notest path crashes "
+                         "(train.py:827 formats the 7-slot init `results` "
+                         "with 8 slots) — a latent reference bug; leave "
+                         "this off")
     args = ap.parse_args()
 
     out = Path(args.out)
