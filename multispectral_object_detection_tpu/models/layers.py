@@ -115,10 +115,11 @@ class Focus(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        if (FOCUS_STEM_CONV and self.fused and self.s == 1 and self.g == 1
+        if (FOCUS_STEM_CONV and self.s == 1 and self.g == 1
                 and self.p is None):
             return _FocusStemConv(self.c2, self.k, self.act,
-                                  dtype=self.dtype, name="conv")(x)
+                                  dtype=self.dtype, fused=self.fused,
+                                  name="conv")(x, train=train)
         x = jnp.concatenate(
             [x[:, ::2, ::2, :], x[:, 1::2, ::2, :], x[:, ::2, 1::2, :], x[:, 1::2, 1::2, :]],
             axis=-1,
@@ -128,44 +129,50 @@ class Focus(nn.Module):
                          name="conv")(x, train=train)
 
 
-# perf A/B toggle for the fused-Focus single-conv rewrite (bench only)
+# A/B toggle for the Focus single-conv rewrite (True = fast path)
 FOCUS_STEM_CONV = True
 
 
 class _RawConvParams(nn.Module):
-    """Bare conv kernel+bias leaves (placed to mirror nn.Conv's tree)."""
+    """Bare conv kernel(+bias) leaves (placed to mirror nn.Conv's tree)."""
 
     shape: tuple
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self):
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             self.shape, jnp.float32)
+        if not self.use_bias:
+            return kernel, None
         bias = self.param("bias", nn.initializers.zeros, (self.shape[-1],),
                           jnp.float32)
         return kernel, bias
 
 
 class _FocusStemConv(nn.Module):
-    """The fused Focus: kernel stored in the (k, k, 4C, c2) deinterleave
-    layout, applied as ONE (2k, 2k, C, c2) stride-2 conv. Param tree matches
-    ConvBnAct(fused=True) — focus/conv/conv/{kernel, bias} — so
-    fuse_conv_bn / the torch importer need no special casing."""
+    """Focus as ONE (2k, 2k, C, c2) stride-2 conv: the kernel is stored in
+    the reference (k, k, 4C, c2) deinterleave layout and rearranged on the
+    fly, so the param tree matches ConvBnAct — focus/conv/conv/kernel(+bias
+    when fused) + focus/conv/bn when live — and fuse_conv_bn / the torch
+    importer need no special casing. Numerically exact: big-kernel tap
+    (u, v) = (2a + dy, 2b + dx) reads the original pixel that the
+    deinterleave block dy + 2*dx placed at tap (a, b). Avoids
+    materializing four strided slices + a concat of the full-resolution
+    input (pure HBM traffic at P1)."""
 
     c2: int
     k: int
     act: bool = True
     dtype: Any = jnp.float32
+    fused: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         c_in = x.shape[-1]
         k = self.k
         kernel, bias = _RawConvParams((k, k, 4 * c_in, self.c2),
-                                      name="conv")()
-        # (k, k, 4C, O) -> (a, b, dx, dy, C, O) -> (2k, 2k, C, O):
-        # big-kernel tap (u, v) = (2a + dy, 2b + dx) reads the original
-        # pixel the deinterleave block dy + 2*dx placed at (a, b)
+                                      use_bias=self.fused, name="conv")()
         k6 = kernel.reshape(k, k, 2, 2, c_in, self.c2)
         k6 = k6.transpose(0, 3, 1, 2, 4, 5).reshape(2 * k, 2 * k, c_in,
                                                     self.c2)
@@ -174,7 +181,14 @@ class _FocusStemConv(nn.Module):
             x.astype(self.dtype), k6.astype(self.dtype),
             window_strides=(2, 2), padding=[(pad, pad), (pad, pad)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        y = y + bias.astype(self.dtype)
+        if self.fused:
+            y = y + bias.astype(self.dtype)
+        else:
+            y = nn.BatchNorm(use_running_average=not train, momentum=0.97,
+                             epsilon=1e-3, dtype=jnp.float32,
+                             param_dtype=jnp.float32,
+                             name="bn")(y.astype(jnp.float32))
+            y = y.astype(self.dtype)
         return nn.silu(y) if self.act else y
 
 
