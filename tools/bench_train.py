@@ -1,0 +1,95 @@
+"""Training-step throughput bench (flagship CFT-L @640, one chip).
+
+Times the FULL jitted training step (bf16 forward, fp32 loss/grads,
+SGD+nesterov, EMA over params+buffers, BN stat update, donated state) the
+same way bench.py times inference: difference two run lengths with a host
+fetch to force completion (this platform's block_until_ready returns early).
+
+Usage:  python tools/bench_train.py [--cfg yolov5l_fusion_transformerx3]
+        [--img 640] [--batch 8] [--steps 30]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cfg", default="yolov5l_fusion_transformerx3")
+    ap.add_argument("--img", type=int, default=640)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--max-labels", type=int, default=64)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from multispectral_object_detection_tpu.models import build_model
+    from multispectral_object_detection_tpu.models.configs import get_config
+    from multispectral_object_detection_tpu.models.detect import anchor_arrays
+    from multispectral_object_detection_tpu.train.loss import (DetectionLoss,
+                                                               LossHyp)
+    from multispectral_object_detection_tpu.train.optim import (OptHyp,
+                                                                build_optimizer)
+    from multispectral_object_detection_tpu.train.trainer import (
+        create_train_state, make_train_step)
+
+    model = build_model(get_config(args.cfg, nc=3), dtype=jnp.bfloat16)
+    spec = model.spec
+    loss_fn = DetectionLoss(nc=3, anchors_px=anchor_arrays(spec.anchors),
+                            strides=spec.strides, hyp=LossHyp())
+    rng = jax.random.PRNGKey(0)
+    sample = jnp.zeros((args.batch, args.img, args.img, 3), jnp.uint8)
+    shapes = jax.eval_shape(model.init, rng, sample.astype(jnp.float32),
+                            sample.astype(jnp.float32))
+    accumulate = max(round(64 / args.batch), 1)
+    tx, _ = build_optimizer(shapes["params"], OptHyp(), 100, 300,
+                            accumulate, args.batch)
+    state = create_train_state(model, tx, rng, sample, sample)
+    n_par = sum(x.size for x in jax.tree.leaves(state.params))
+    print(f"{args.cfg}: {n_par:,} params, batch {args.batch} @{args.img}")
+
+    step = make_train_step(model, loss_fn, tx, two_stream=True)
+    T = args.max_labels * args.batch
+    targets = np.zeros((T, 6), np.float32)
+    targets[:8, 1] = np.arange(8) % 3
+    targets[:8, 2:] = 0.3
+    tmask = np.zeros((T,), bool)
+    tmask[:8] = True
+    rgb = np.random.default_rng(0).integers(
+        0, 255, (args.batch, args.img, args.img, 3), dtype=np.uint8)
+    batch = (jnp.asarray(rgb), jnp.asarray(rgb), jnp.asarray(targets),
+             jnp.asarray(tmask))
+
+    # step donates its state argument — thread one live state through all
+    # runs instead of re-submitting donated buffers
+    live = {"state": state, "rng": rng}
+
+    def run(n):
+        t0 = time.perf_counter()
+        for i in range(n):
+            live["rng"], k = jax.random.split(live["rng"])
+            live["state"], metrics = step(live["state"], *batch, k)
+        np.asarray(next(iter(metrics.values())))  # force completion (axon)
+        return time.perf_counter() - t0
+
+    run(2)  # compile + warmup
+    t_short = run(args.steps // 3)
+    t_long = run(args.steps)
+    dt = (t_long - t_short) / (args.steps - args.steps // 3)
+    pairs = args.batch / dt
+    print(f"train step: {dt * 1e3:.1f} ms / batch-{args.batch} = "
+          f"{pairs:.1f} pairs/s/chip")
+
+
+if __name__ == "__main__":
+    main()
