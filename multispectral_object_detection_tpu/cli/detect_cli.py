@@ -86,6 +86,8 @@ def run(args) -> dict:
         # keep the residual (non-conv-adjacent) BN stats live:
         # BottleneckCSP/MixConv2d/CrossConv configs still need them
         params, stats = fuse_conv_bn(params, stats)
+    from ..models.model import cast_inference_params
+    params = cast_inference_params(params, dtype)
     two_stream = model.spec.two_stream
     names = (args.names.split(",") if args.names
              else [str(i) for i in range(args.nc)])

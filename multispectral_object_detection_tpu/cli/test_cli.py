@@ -71,6 +71,8 @@ def _build(args, img_size):
         # residual stats stay live for non-conv-adjacent BNs
         # (BottleneckCSP/MixConv2d/CrossConv)
         params, stats = fuse_conv_bn(params, stats)
+    from ..models.model import cast_inference_params
+    params = cast_inference_params(params, dtype)
     return model, params, stats, data, nc, two_stream
 
 

@@ -38,6 +38,9 @@ def create(name: str = "yolov5s", nc: Optional[int] = None,
         v = jax.jit(lambda r, *a: model.init(r, *a, train=False))(
             jax.random.PRNGKey(0), *args)
         params, stats = v["params"], v.get("batch_stats", {})
+    if dtype is not None and dtype != jnp.float32:
+        from .models.model import cast_inference_params
+        params = cast_inference_params(params, dtype)
     return model, params, stats
 
 
