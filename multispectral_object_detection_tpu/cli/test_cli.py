@@ -44,6 +44,10 @@ def parse_args(argv=None):
     ap.add_argument("--no-fuse", action="store_true",
                     help="keep live BatchNorm instead of conv-folded "
                          "inference (reference fuses by default)")
+    ap.add_argument("--data-parallel", type=int, default=0,
+                    help="shard eval batches over N devices of a "
+                         "jax.sharding.Mesh (0 = single device). The "
+                         "reference has no distributed eval.")
     return ap.parse_args(argv)
 
 
@@ -98,7 +102,28 @@ def run(args) -> dict:
                 l[:, 0] = 0
     loader = BatchLoader(ds, args.batch_size, shuffle=False,
                          max_labels=args.max_labels, drop_last=False)
-    fwd = make_eval_forward(model, two_stream=two_stream)
+    if args.data_parallel > 1:
+        import jax
+
+        from ..parallel.mesh import make_mesh, make_parallel_eval_forward
+
+        n = args.data_parallel
+        if len(jax.devices()) < n:
+            raise SystemExit(
+                f"--data-parallel {n} needs {n} devices, "
+                f"found {len(jax.devices())}")
+        if args.batch_size % n:
+            raise SystemExit(
+                f"--batch-size {args.batch_size} must be divisible by "
+                f"--data-parallel {n}")
+        mesh = make_mesh(n_data=n, n_model=1, devices=jax.devices()[:n])
+        fwd = make_parallel_eval_forward(model, two_stream=two_stream,
+                                         mesh=mesh,
+                                         batch_size=args.batch_size)
+        params = fwd.place_params(params)
+        logger.info(f"data-parallel eval over {n} devices")
+    else:
+        fwd = make_eval_forward(model, two_stream=two_stream)
 
     if args.task == "speed":
         return speed_task(fwd, params, stats, loader, args)

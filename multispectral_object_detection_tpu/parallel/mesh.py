@@ -138,6 +138,59 @@ def make_parallel_train_step(model, loss_fn, tx, two_stream: bool, mesh: Mesh,
     )
 
 
+def make_parallel_eval_forward(model, two_stream: bool, mesh: Mesh,
+                               batch_size: int,
+                               tensor_parallel: bool = False):
+    """Data-parallel inference forward for the evaluator / test CLI.
+
+    Same signature and semantics as trainer.make_eval_forward, but jitted
+    over the mesh: params replicated (or CFT tensor-parallel), the batch
+    sharded over 'data'. The returned callable pads a short final batch up
+    to `batch_size` (one compiled program, no ragged-shape recompiles) and
+    slices the pad back off. Downstream NMS on the sharded detections
+    keeps the 'data' partitioning — XLA runs it per-shard with no
+    cross-device traffic. The reference has no distributed eval at all
+    (test.py runs on one device; train.py only evaluates on rank 0).
+    """
+    from functools import partial
+
+    data_s = batch_sharding(mesh)
+    repl = NamedSharding(mesh, P())
+
+    @partial(jax.jit, in_shardings=(None, None, data_s, data_s))
+    def _fwd(params, batch_stats, rgb, ir):
+        x = rgb.astype(jnp.float32) / 255.0
+        inputs = (x,) if not two_stream else (x,
+                                              ir.astype(jnp.float32) / 255.0)
+        feats = model.apply({"params": params, "batch_stats": batch_stats},
+                            *inputs, train=False)
+        return model.decode(feats), feats
+
+    def place_params(params):
+        if tensor_parallel:
+            return jax.tree.map(
+                jax.device_put, params,
+                param_shardings(params, mesh, tensor_parallel=True))
+        return jax.device_put(params, repl)
+
+    def fwd(params, batch_stats, rgb, ir):
+        b = int(rgb.shape[0])
+        if b != batch_size:
+            pad = [(0, batch_size - b)] + [(0, 0)] * (rgb.ndim - 1)
+            rgb = np.pad(np.asarray(rgb), pad)
+            ir = np.pad(np.asarray(ir), pad)
+        rgb = jax.device_put(np.asarray(rgb), data_s)
+        ir = jax.device_put(np.asarray(ir), data_s)
+        dets, feats = _fwd(params, batch_stats, rgb, ir)
+        if b != batch_size:
+            dets = dets[:b]
+            feats = [f[:b] for f in feats]
+        return dets, feats
+
+    fwd.place_params = place_params
+    return fwd
+
+
 def shard_state(state, model_params_shardings, mesh: Mesh):
     """Place a TrainState on the mesh: params per sharding rules, everything
     tree-structured alike; scalars replicated."""

@@ -88,3 +88,83 @@ def test_tensor_parallel_fusion_matches_replicated():
     for a, b in zip(ref, out):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_parallel_eval_forward_matches_single():
+    """make_parallel_eval_forward == make_eval_forward, incl. the padded
+    short final batch (the --data-parallel path of the test CLI)."""
+    from multispectral_object_detection_tpu.models import build_model
+    from multispectral_object_detection_tpu.models.configs import (
+        yolov5_two_stream)
+    from multispectral_object_detection_tpu.parallel.mesh import (
+        make_parallel_eval_forward)
+    from multispectral_object_detection_tpu.train.trainer import (
+        make_eval_forward)
+
+    model = build_model(yolov5_two_stream("n", nc=2, fusion="add"))
+    rgb = np.random.default_rng(0).integers(
+        0, 255, (8, 64, 64, 3), dtype=np.uint8)
+    ir = np.random.default_rng(1).integers(
+        0, 255, (8, 64, 64, 3), dtype=np.uint8)
+    x0 = jnp.zeros((1, 64, 64, 3))
+    v = jax.jit(lambda r, a, b: model.init(r, a, b, train=False))(
+        jax.random.PRNGKey(2), x0, x0)
+    params, stats = v["params"], v.get("batch_stats", {})
+
+    ref_fwd = make_eval_forward(model, two_stream=True)
+    ref_dets, ref_feats = ref_fwd(params, stats, rgb, ir)
+
+    mesh = make_mesh(n_data=4, n_model=1, devices=jax.devices()[:4])
+    fwd = make_parallel_eval_forward(model, two_stream=True, mesh=mesh,
+                                     batch_size=8)
+    p = fwd.place_params(params)
+    dets, feats = fwd(p, stats, rgb, ir)
+    np.testing.assert_allclose(np.asarray(ref_dets), np.asarray(dets),
+                               rtol=1e-5, atol=1e-5)
+
+    # short final batch: padded to 8 internally, sliced back
+    dets5, feats5 = fwd(p, stats, rgb[:5], ir[:5])
+    assert dets5.shape[0] == 5 and feats5[0].shape[0] == 5
+    np.testing.assert_allclose(np.asarray(ref_dets[:5]), np.asarray(dets5),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_test_cli_data_parallel(tmp_path):
+    """--data-parallel N end-to-end through the test CLI (virtual mesh)."""
+    import yaml
+
+    from multispectral_object_detection_tpu.cli import test_cli
+    from multispectral_object_detection_tpu.data.synthetic import (
+        make_paired_dataset)
+
+    rgb, ir = make_paired_dataset(str(tmp_path / "d"), n_images=8,
+                                  img_size=96, nc=2, seed=4)
+    dy = tmp_path / "data.yaml"
+    dy.write_text(yaml.safe_dump({
+        "train_rgb": rgb, "train_ir": ir, "val_rgb": rgb, "val_ir": ir,
+        "nc": 2, "names": ["a", "b"]}))
+
+    from flax import serialization
+
+    from multispectral_object_detection_tpu.models import build_model
+    from multispectral_object_detection_tpu.models.configs import get_config
+
+    model = build_model(get_config("yolov5n_fusion_add", nc=2))
+    x0 = jnp.zeros((1, 96, 96, 3))
+    v = jax.jit(lambda r, a, b: model.init(r, a, b, train=False))(
+        jax.random.PRNGKey(0), x0, x0)
+    ck = tmp_path / "ckpt"
+    ck.mkdir()
+    (ck / "model.msgpack").write_bytes(serialization.msgpack_serialize(
+        {"params": jax.device_get(v["params"]),
+         "batch_stats": jax.device_get(v.get("batch_stats", {}))}))
+
+    res_dp = test_cli.main([
+        "--cfg", "yolov5n_fusion_add", "--data", str(dy),
+        "--weights", str(ck), "--batch-size", "4", "--img-size", "96",
+        "--fp32", "--data-parallel", "4", "--no-rect"])
+    res_1 = test_cli.main([
+        "--cfg", "yolov5n_fusion_add", "--data", str(dy),
+        "--weights", str(ck), "--batch-size", "4", "--img-size", "96",
+        "--fp32", "--no-rect"])
+    assert abs(res_dp["map50"] - res_1["map50"]) < 1e-9
