@@ -47,10 +47,22 @@ def parse_args(argv=None):
                     help="save detection crops (save_one_box, "
                          "general.py:628)")
     ap.add_argument("--nosave", action="store_true")
+    ap.add_argument("--batch-size", type=int, default=1,
+                    help="pairs per device dispatch (folder/video sources; "
+                         "amortizes dispatch + runs the model at its "
+                         "efficient batch point)")
     ap.add_argument("--fp32", action="store_true")
     ap.add_argument("--no-fuse", action="store_true",
                     help="keep live BatchNorm instead of conv-folded inference")
     return ap.parse_args(argv)
+
+
+class _ShapeOnly:
+    """Stand-in for a decoded image when only its dimensions are needed
+    (the headless fast path never materializes full-res pixels)."""
+
+    def __init__(self, h: int, w: int):
+        self.shape = (h, w, 3)
 
 
 def run(args) -> dict:
@@ -88,6 +100,11 @@ def run(args) -> dict:
         params, stats = fuse_conv_bn(params, stats)
     from ..models.model import cast_inference_params
     params = cast_inference_params(params, dtype)
+    # commit to device ONCE — params loaded from a checkpoint are host
+    # numpy trees, and passing those to a jitted fn re-uploads the full
+    # model every call
+    params = jax.device_put(params)
+    stats = jax.device_put(stats)
     two_stream = model.spec.two_stream
     names = (args.names.split(",") if args.names
              else [str(i) for i in range(args.nc)])
@@ -98,8 +115,12 @@ def run(args) -> dict:
         class_mask[list(args.classes)] = True
         class_mask = jnp.asarray(class_mask)
 
+    # params/stats are jit ARGUMENTS, not closure captures — captured trees
+    # are baked into the program as constants, which bloats the compiled
+    # executable by the full model size (and overflows the axon
+    # remote-compile request for the 206M flagship)
     @jax.jit
-    def infer(rgb_u8, ir_u8):
+    def _infer(params, stats, rgb_u8, ir_u8):
         x = rgb_u8.astype(jnp.float32) / 255.0
         inputs = (x,) if not two_stream else (x, ir_u8.astype(jnp.float32) / 255.0)
         feats = model.apply({"params": params, "batch_stats": stats},
@@ -110,6 +131,9 @@ def run(args) -> dict:
                            agnostic=args.agnostic_nms, max_det=args.max_det,
                            top_k=1024, class_mask=class_mask,
                            merge=args.merge_nms)
+
+    def infer(rgb_u8, ir_u8):
+        return _infer(params, stats, rgb_u8, ir_u8)
 
     from ..data.sources import VID_EXTS, MediaSource
 
@@ -141,18 +165,38 @@ def run(args) -> dict:
     import queue as _queue
     import threading
 
+    B = max(args.batch_size, 1)
+    # headless fast path: decode straight to network scale (native C++
+    # decoder when MSOD_NATIVE=1) and never materialize the full-res image
+    # — the 1-core host decode is the end-to-end serving bottleneck
+    headless = (args.nosave and not args.save_crop and not is_video)
+
+    from ..data.augment import load_scaled
+
     def _producer(q):
         try:
+            if headless:
+                for p1, p2 in zip(files1, files2):
+                    im, (h0, w0) = load_scaled(p1, s)
+                    irs, _ = load_scaled(p2, s)
+                    h1, w1 = im.shape[:2]
+                    rgb, (r, _), pad = letterbox(im, (s, s), auto=False)
+                    ir, _, _ = letterbox(irs, (s, s), auto=False)
+                    # fold the decode-time prescale into the ratio so
+                    # boxes rescale to the ORIGINAL (h0, w0) space
+                    ratio = (r * w1 / w0, r * h1 / h0)
+                    shp = _ShapeOnly(h0, w0)
+                    q.put(((p1, shp, p2, shp, ratio, pad), rgb, ir))
+                return
             for (p1, im0), (p2, ir0) in pairs:
                 rgb, ratio, pad = letterbox(im0[:, :, ::-1], (s, s),
                                             auto=False)
                 ir, _, _ = letterbox(ir0[:, :, ::-1], (s, s), auto=False)
-                q.put(((p1, im0, p2, ir0, ratio, pad),
-                       jnp.asarray(rgb[None]), jnp.asarray(ir[None])))
+                q.put(((p1, im0, p2, ir0, ratio, pad), rgb, ir))
         finally:
             q.put(None)
 
-    q: "_queue.Queue" = _queue.Queue(maxsize=3)
+    q: "_queue.Queue" = _queue.Queue(maxsize=3 * B)
     threading.Thread(target=_producer, args=(q,), daemon=True).start()
 
     n_det_total = 0
@@ -160,14 +204,14 @@ def run(args) -> dict:
     writer = None
     t_wall0 = time.perf_counter()
 
-    def _emit(meta, det):
+    def _emit(meta, det, i=0):
         nonlocal n_det_total, n_frames, writer
         p1, im0, p2, ir0, ratio, pad = meta
         n_frames += 1
-        boxes = np.asarray(det.boxes[0])
-        scores = np.asarray(det.scores[0])
-        classes = np.asarray(det.classes[0])
-        valid = np.asarray(det.valid[0])
+        boxes = np.asarray(det.boxes[i])
+        scores = np.asarray(det.scores[i])
+        classes = np.asarray(det.classes[i])
+        valid = np.asarray(det.valid[i])
 
         boxes = boxes[valid]
         scores = scores[valid]
@@ -220,26 +264,60 @@ def run(args) -> dict:
                 cv2.imwrite(str(save_dir / f"{stem}_rgb.jpg"), im0)
                 cv2.imwrite(str(save_dir / f"{stem}_ir.jpg"), ir0)
 
-    pending = None  # one frame in flight on the device
-    while True:
-        item = q.get()
+    def _collect(q):
+        """Group queue items into batches of B (last one may be short)."""
+        buf = []
+        while True:
+            item = q.get()
+            if item is None:
+                if buf:
+                    yield buf
+                return
+            buf.append(item)
+            if len(buf) == B:
+                yield buf
+                buf = []
+
+    pending = None  # one batch in flight on the device
+    t_steady0 = None  # set after the first batch (jit compile) completes
+    n_at_steady = 0
+    stream = _collect(q)
+    done = False
+    while not done:
+        buf = next(stream, None)
         nxt = None
-        if item is not None:
-            meta, rgb_d, ir_d = item
-            nxt = (meta, infer(rgb_d, ir_d))  # async dispatch
+        if buf is not None:
+            metas = [m for m, _, _ in buf]
+            rgb_b = np.stack([r for _, r, _ in buf])
+            ir_b = np.stack([r for _, _, r in buf])
+            if len(buf) < B:  # pad short final batch: one compiled shape
+                padn = [(0, B - len(buf))] + [(0, 0)] * 3
+                rgb_b = np.pad(rgb_b, padn)
+                ir_b = np.pad(ir_b, padn)
+            nxt = (metas, infer(jnp.asarray(rgb_b), jnp.asarray(ir_b)))
         if pending is not None:
-            _emit(*pending)  # host postprocess overlaps device compute
+            p_metas, p_det = pending
+            for i, m in enumerate(p_metas):
+                _emit(m, p_det, i)  # host postprocess overlaps device work
+            if t_steady0 is None:
+                t_steady0 = time.perf_counter()
+                n_at_steady = n_frames
         pending = nxt
-        if nxt is None:
-            break
+        done = nxt is None
 
     if writer is not None:
         writer.release()
     t_wall = time.perf_counter() - t_wall0
     fps = n_frames / t_wall if t_wall > 0 else 0.0
+    # steady-state excludes the first batch's jit compile + cache warmup
+    t_steady = (time.perf_counter() - t_steady0) if t_steady0 else 0.0
+    fps_steady = ((n_frames - n_at_steady) / t_steady
+                  if t_steady > 0 and n_frames > n_at_steady else fps)
     logger.info(f"{n_frames} pairs, {n_det_total} detections, "
-                f"{fps:.1f} FPS end-to-end -> {save_dir}")
-    return {"n_images": n_frames, "n_det": n_det_total, "fps": fps}
+                f"{fps:.1f} FPS end-to-end "
+                f"({fps_steady:.1f} steady-state) -> {save_dir}")
+    return {"n_images": n_frames, "n_det": n_det_total, "fps": fps,
+            "fps_steady": fps_steady}
 
 
 def main(argv=None):

@@ -77,6 +77,12 @@ def _build(args, img_size):
         params, stats = fuse_conv_bn(params, stats)
     from ..models.model import cast_inference_params
     params = cast_inference_params(params, dtype)
+    # commit to device once — checkpoint loads give host numpy trees, and
+    # feeding those to a jitted forward re-uploads the model every batch
+    import jax
+
+    params = jax.device_put(params)
+    stats = jax.device_put(stats)
     return model, params, stats, data, nc, two_stream
 
 

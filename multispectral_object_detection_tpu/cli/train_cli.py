@@ -110,7 +110,7 @@ def run(args) -> dict:
     from ..train.optim import OptHyp, build_optimizer
     from ..train.trainer import create_train_state, make_eval_forward
     from ..utils.checkpoint import (load_checkpoint, save_checkpoint,
-                                    strip_checkpoint)
+                                    strip_checkpoint, wait_pending)
     from ..utils.general import (check_dataset, check_file, check_img_size,
                                  increment_path, init_seeds, set_logging)
     from ..utils.metrics import fitness
@@ -397,20 +397,24 @@ def run(args) -> dict:
             if (epoch % max(args.ckpt_every, 1) == 0
                     or epoch == args.epochs - 1):
                 save_checkpoint(save_dir / "last", state, epoch=epoch,
-                                best_fitness=max(best_fitness, fi))
+                                best_fitness=max(best_fitness, fi),
+                                background=True)
             if fi > best_fitness:
                 best_fitness = fi
                 save_checkpoint(save_dir / "best", state, epoch=epoch,
-                                best_fitness=best_fitness)
+                                best_fitness=best_fitness,
+                                background=True)
             if args.save_period > 0 and epoch % args.save_period == 0:
                 save_checkpoint(save_dir / f"epoch{epoch}", state, epoch=epoch,
                                 best_fitness=best_fitness)
+                # (synchronous: log_model reads the files right back)
                 # model artifact per save_period (wandb_utils.py:203-215)
                 xlog.log_model(save_dir / f"epoch{epoch}", epoch, fi,
                                best=fi >= best_fitness,
                                save_period=args.save_period)
 
     xlog.close()
+    wait_pending()  # background checkpoint writes must land before strip
     if not args.nosave:
         for tag in ("last", "best"):
             if (save_dir / tag / "state.msgpack").exists():

@@ -146,10 +146,17 @@ class Detector:
         from .ops.nms import batched_nms
 
         model, params, stats = self.model, self.params, self.stats
+        # one-time device commit (host numpy trees would re-upload per call)
+        params = jax.device_put(params)
+        stats = jax.device_put(stats)
+        self.params, self.stats = params, stats
         conf, iou = self.conf, self.iou
 
+        # params/stats passed as jit arguments (closure captures would be
+        # baked into the executable as constants, bloating it by the model
+        # size and overflowing remote-compile payload limits)
         @jax.jit
-        def infer(rgb, ir):
+        def infer(params, stats, rgb, ir):
             x = rgb.astype(jnp.float32) / 255.0
             ins = (x,) if not self.two_stream else (
                 x, ir.astype(jnp.float32) / 255.0)
@@ -159,7 +166,7 @@ class Detector:
             return batched_nms(d, conf_thres=conf, iou_thres=iou,
                                multi_label=False, max_det=300, top_k=1024)
 
-        self._infer = infer
+        self._infer = lambda rgb, ir: infer(params, stats, rgb, ir)
 
     @staticmethod
     def _to_img(x) -> np.ndarray:

@@ -21,15 +21,54 @@ import numpy as np
 from flax import serialization
 
 
-def save_checkpoint(path: str, state, *, epoch: int, best_fitness: float,
-                    meta: Optional[Dict[str, Any]] = None):
-    p = Path(path)
+_pending = None  # at most one outstanding background write
+
+
+def _write_checkpoint(p: Path, host_state, info) -> None:
+    """Serialize + write atomically (tmp file + os.replace), so a crash
+    mid-write never leaves a torn state.msgpack behind (resume safety)."""
     p.mkdir(parents=True, exist_ok=True)
+    blob = serialization.msgpack_serialize(host_state)
+    tmp = p / "state.msgpack.tmp"
+    tmp.write_bytes(blob)
+    os.replace(tmp, p / "state.msgpack")
+    mtmp = p / "meta.json.tmp"
+    mtmp.write_text(json.dumps(info, indent=1))
+    os.replace(mtmp, p / "meta.json")
+
+
+def save_checkpoint(path: str, state, *, epoch: int, best_fitness: float,
+                    meta: Optional[Dict[str, Any]] = None,
+                    background: bool = False):
+    """Write a checkpoint dir; with `background=True` the (CPU-bound)
+    msgpack serialization + disk write run in a thread so the train loop
+    only pays the device->host fetch. The device fetch is synchronous
+    either way — the caller's state buffers may be donated by the next
+    step. At most one write is outstanding (a new save joins the previous
+    one first); call `wait_pending()` before reading a checkpoint back or
+    exiting."""
+    global _pending
+    p = Path(path)
     host_state = jax.tree.map(lambda x: np.asarray(x), _state_dict(state))
-    (p / "state.msgpack").write_bytes(serialization.msgpack_serialize(host_state))
     info = {"epoch": int(epoch), "best_fitness": float(best_fitness)}
     info.update(meta or {})
-    (p / "meta.json").write_text(json.dumps(info, indent=1))
+    if not background:
+        _write_checkpoint(p, host_state, info)
+        return
+    import threading
+
+    wait_pending()
+    _pending = threading.Thread(target=_write_checkpoint,
+                                args=(p, host_state, info), daemon=False)
+    _pending.start()
+
+
+def wait_pending() -> None:
+    """Block until the outstanding background checkpoint write finishes."""
+    global _pending
+    if _pending is not None:
+        _pending.join()
+        _pending = None
 
 
 def _state_dict(state) -> Dict[str, Any]:

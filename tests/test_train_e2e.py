@@ -94,3 +94,34 @@ def test_overfit_and_eval(setup):
     assert np.isfinite(out["map50"])
     # overfit on 8 trivial images must find at least some objects
     assert out["map50"] > 0.05, out
+
+
+def test_background_checkpoint_roundtrip(tmp_path):
+    """background=True saves must be joinable and byte-equivalent to sync
+    saves (atomic tmp+rename, one outstanding write)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multispectral_object_detection_tpu.utils import checkpoint as C
+
+    class S:
+        params = {"w": jnp.arange(8, dtype=jnp.float32)}
+        batch_stats = {"m": jnp.ones((2,))}
+        opt_state = ()
+        ema_params = {"w": jnp.arange(8, dtype=jnp.float32) * 2}
+        ema_stats = {"m": jnp.ones((2,))}
+        step = jnp.asarray(7)
+        ema_updates = jnp.asarray(3)
+
+    C.save_checkpoint(tmp_path / "a", S(), epoch=1, best_fitness=0.5,
+                      background=True)
+    C.save_checkpoint(tmp_path / "b", S(), epoch=2, best_fitness=0.6,
+                      background=True)
+    C.wait_pending()
+    raw_a, meta_a = C.load_checkpoint(tmp_path / "a")
+    raw_b, meta_b = C.load_checkpoint(tmp_path / "b")
+    assert meta_a["epoch"] == 1 and meta_b["epoch"] == 2
+    np.testing.assert_array_equal(raw_b["ema_params"]["w"],
+                                  np.arange(8, dtype=np.float32) * 2)
+    assert not (tmp_path / "a" / "state.msgpack.tmp").exists()
