@@ -297,6 +297,9 @@ def run(args) -> dict:
             nxt = (metas, infer(jnp.asarray(rgb_b), jnp.asarray(ir_b)))
         if pending is not None:
             p_metas, p_det = pending
+            # ONE host fetch per dispatched batch (not per frame) — each
+            # device->host fetch is a round trip
+            p_det = jax.tree.map(np.asarray, p_det)
             for i, m in enumerate(p_metas):
                 _emit(m, p_det, i)  # host postprocess overlaps device work
             if t_steady0 is None:

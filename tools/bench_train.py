@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--max-labels", type=int, default=64)
+    ap.add_argument("--profile", action="store_true",
+                    help="per-op device profile of the train step "
+                         "(top-30 HLO ops by time)")
+    ap.add_argument("--top", type=int, default=30)
     args = ap.parse_args()
 
     import jax
@@ -89,6 +93,24 @@ def main():
     pairs = args.batch / dt
     print(f"train step: {dt * 1e3:.1f} ms / batch-{args.batch} = "
           f"{pairs:.1f} pairs/s/chip")
+
+    if args.profile:
+        import tempfile
+
+        from tools.profile_model import collect_device_ops
+
+        trace_dir = tempfile.mkdtemp(prefix="mttrain_")
+        with jax.profiler.trace(trace_dir):
+            run(3)
+        ops, total = collect_device_ops(trace_dir, 3)
+        for k, (dur, n, _) in total.items():
+            print(f"TOTAL {k.split('(')[0]}: {dur / 3 / 1e3:.3f} ms/iter")
+        print(f"{'ms/iter':>8}  {'calls':>5}  op  [shape excerpt]")
+        for nm, (dur, n, ln) in sorted(ops.items(),
+                                       key=lambda x: -x[1][0])[:args.top]:
+            shape = ln.split(" = ")[1].split("{")[0] if " = " in ln else ""
+            print(f"{dur / 3 / 1e3:8.3f}  {n // 3:5d}  {nm[:44]:44s}  "
+                  f"{shape[:40]}")
 
 
 if __name__ == "__main__":
