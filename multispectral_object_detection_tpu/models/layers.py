@@ -276,10 +276,29 @@ class BottleneckCSP(nn.Module):
                          name="cv4")(y, train=train)
 
 
+def _max_pool_iterated(x, k: int):
+    """Stride-1 'same' max-pool of odd window k as iterated 3x3 pools.
+
+    max is associative and the pad identity is -inf, so (k-1)//2 chained
+    3x3/stride-1 pools produce the EXACT same output as one kxk pool
+    (forward bit-identical — goldens unaffected). The payoff is the
+    backward pass: XLA lowers a kxk max-pool VJP to select_and_scatter
+    whose cost scales with k^2 — the k=(5,9,13) SPP pools cost ~10 ms of
+    the flagship's 91 ms train step (tools/bench_train.py --profile);
+    chained 3x3 VJPs are ~6x cheaper. Tie-routing of gradients differs
+    (ties are measure-zero for continuous activations).
+    """
+    for _ in range(max((k - 1) // 2, 0)):
+        x = nn.max_pool(x, window_shape=(3, 3), strides=(1, 1),
+                        padding=[(1, 1), (1, 1)])
+    return x
+
+
 class SPP(nn.Module):
     """Spatial pyramid pooling, k=(5, 9, 13) (common.py:154).
 
-    Max-pool with stride 1 and 'same' padding at three window sizes.
+    Max-pool with stride 1 and 'same' padding at three window sizes,
+    each computed as iterated 3x3 pools (see _max_pool_iterated).
     """
 
     c1: int
@@ -295,10 +314,13 @@ class SPP(nn.Module):
                       name="cv1")(x, train=train)
         pools = [x]
         for k in self.k:
-            pools.append(
-                nn.max_pool(x, window_shape=(k, k), strides=(1, 1),
-                            padding=[(k // 2, k // 2), (k // 2, k // 2)])
-            )
+            if k % 2 == 1:
+                pools.append(_max_pool_iterated(x, k))
+            else:  # even windows can't decompose into centered 3x3 pools
+                pools.append(
+                    nn.max_pool(x, window_shape=(k, k), strides=(1, 1),
+                                padding=[(k // 2, k // 2), (k // 2, k // 2)])
+                )
         y = jnp.concatenate(pools, axis=-1)
         return ConvBnAct(self.c2, 1, 1, dtype=self.dtype, fused=self.fused,
                           name="cv2")(y, train=train)
