@@ -41,6 +41,12 @@ def parse_args(argv=None):
     ap.add_argument("--exist-ok", action="store_true")
     ap.add_argument("--adam", action="store_true")
     ap.add_argument("--linear-lr", action="store_true")
+    ap.add_argument("--remat", type=str, default="none",
+                    choices=["none", "dots", "full"],
+                    help="activation rematerialization: trade recompute "
+                         "for HBM (larger batch/resolution); 'dots' saves "
+                         "matmul outputs, 'full' recomputes the whole "
+                         "forward in the backward pass")
     ap.add_argument("--label-smoothing", type=float, default=0.0)
     ap.add_argument("--single-cls", action="store_true")
     ap.add_argument("--noval", action="store_true")
@@ -274,7 +280,8 @@ def run(args) -> dict:
     state = shard_state(state, pshard, mesh)
     step = make_parallel_train_step(model, loss_fn, tx,
                                     two_stream=two_stream, mesh=mesh,
-                                    tensor_parallel=args.n_model > 1)
+                                    tensor_parallel=args.n_model > 1,
+                                    remat=args.remat)
     data_shard = batch_sharding(mesh)
     fwd = make_eval_forward(model, two_stream=two_stream)
 

@@ -87,7 +87,8 @@ def replicated(tree, mesh: Mesh):
 
 def make_parallel_train_step(model, loss_fn, tx, two_stream: bool, mesh: Mesh,
                              ema_decay: float = 0.9999,
-                             tensor_parallel: bool = True, donate: bool = True):
+                             tensor_parallel: bool = True, donate: bool = True,
+                             remat: str = "none"):
     """Like trainer.make_train_step but jitted over a mesh.
 
     State shardings: params/opt/ema follow `param_shardings`; batch arrays
@@ -112,6 +113,10 @@ def make_parallel_train_step(model, loss_fn, tx, two_stream: bool, mesh: Mesh,
         )
         total, comps = loss_fn(out, targets, tmask)
         return total, (mutated["batch_stats"], comps)
+
+    from ..train.trainer import remat_wrap
+
+    loss_and_aux = remat_wrap(loss_and_aux, remat)
 
     def step_fn(state, rgb, ir, targets, tmask, rng):
         (total, (new_stats, comps)), grads = jax.value_and_grad(

@@ -50,13 +50,36 @@ def create_train_state(model, tx, rng, sample_rgb, sample_ir=None) -> TrainState
     )
 
 
+def remat_wrap(fn, remat: str):
+    """Wrap a loss closure in jax.checkpoint for activation rematerialization.
+
+    'none'  — XLA keeps every activation live for the backward pass.
+    'dots'  — save matmul/conv outputs, recompute elementwise chains
+              (jax.checkpoint_policies.checkpoint_dots): small memory win,
+              near-zero recompute.
+    'full'  — save only the inputs and recompute the whole forward during
+              backward: activation memory ~O(1) at ~1 extra forward of
+              compute. Enables larger batch/resolution on fixed HBM.
+    The reference has no equivalent (torch.utils.checkpoint is unused).
+    """
+    if remat == "none":
+        return fn
+    if remat == "dots":
+        return jax.checkpoint(
+            fn, policy=jax.checkpoint_policies.checkpoint_dots)
+    if remat == "full":
+        return jax.checkpoint(fn)
+    raise ValueError(f"remat must be none|dots|full, got {remat!r}")
+
+
 def make_train_step(model, loss_fn: DetectionLoss, tx,
                     two_stream: bool, ema_decay: float = 0.9999,
-                    donate: bool = True) -> Callable:
+                    donate: bool = True, remat: str = "none") -> Callable:
     """Build the jitted train step.
 
     step(state, rgb, ir, targets, tmask, rng) -> (state, metrics)
     rgb/ir: (B, S, S, 3) uint8. targets: (T, 6). tmask: (T,).
+    remat: activation rematerialization policy (see remat_wrap).
     """
 
     def loss_and_aux(params, batch_stats, rgb, ir, targets, tmask, rng):
@@ -69,6 +92,8 @@ def make_train_step(model, loss_fn: DetectionLoss, tx,
         )
         total, comps = loss_fn(out, targets, tmask)
         return total, (mutated["batch_stats"], comps)
+
+    loss_and_aux = remat_wrap(loss_and_aux, remat)
 
     def step_fn(state: TrainState, rgb, ir, targets, tmask, rng):
         (total, (new_stats, comps)), grads = jax.value_and_grad(

@@ -168,3 +168,45 @@ def test_test_cli_data_parallel(tmp_path):
         "--weights", str(ck), "--batch-size", "4", "--img-size", "96",
         "--fp32", "--no-rect"])
     assert abs(res_dp["map50"] - res_1["map50"]) < 1e-9
+
+
+@pytest.mark.parametrize("remat", ["dots", "full"])
+def test_remat_train_step_matches_none(remat):
+    """--remat must be a pure memory lever: same grads, same loss (fp32,
+    same op order -> numerically equal within float tolerance)."""
+    from multispectral_object_detection_tpu.models import build_model
+    from multispectral_object_detection_tpu.models.configs import (
+        yolov5_two_stream)
+    from multispectral_object_detection_tpu.models.detect import anchor_arrays
+    from multispectral_object_detection_tpu.train.loss import DetectionLoss
+    from multispectral_object_detection_tpu.train.optim import (OptHyp,
+                                                                build_optimizer)
+    from multispectral_object_detection_tpu.train.trainer import (
+        create_train_state, make_train_step)
+
+    model = build_model(yolov5_two_stream("n", nc=2, fusion="add"))
+    spec = model.spec
+    rng = jax.random.PRNGKey(0)
+    sample = jnp.zeros((2, 64, 64, 3), jnp.uint8)
+    shapes = jax.eval_shape(model.init, rng, sample.astype(jnp.float32),
+                            sample.astype(jnp.float32))
+    tx, _ = build_optimizer(shapes["params"], OptHyp(), 10, 3)
+    loss_fn = DetectionLoss(nc=2, anchors_px=anchor_arrays(spec.anchors),
+                            strides=spec.strides)
+
+    rgb = jnp.asarray(np.random.default_rng(0).integers(
+        0, 255, (2, 64, 64, 3), dtype=np.uint8))
+    targets = jnp.tile(jnp.asarray([[0, 0, .5, .5, .25, .25]], jnp.float32),
+                       (4, 1))
+    tmask = jnp.ones((4,), jnp.float32)
+
+    outs = {}
+    for mode in ("none", remat):
+        state = create_train_state(model, tx, rng, sample, sample)
+        step = make_train_step(model, loss_fn, tx, two_stream=True,
+                               donate=False, remat=mode)
+        _, m = step(state, rgb, rgb, targets, tmask, jax.random.PRNGKey(1))
+        outs[mode] = {k: float(v) for k, v in m.items()}
+    for k in outs["none"]:
+        np.testing.assert_allclose(outs["none"][k], outs[remat][k],
+                                   rtol=1e-5, err_msg=k)

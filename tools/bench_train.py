@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--max-labels", type=int, default=64)
+    ap.add_argument("--remat", default="none",
+                    choices=["none", "dots", "full"])
     ap.add_argument("--profile", action="store_true",
                     help="per-op device profile of the train step "
                          "(top-30 HLO ops by time)")
@@ -62,7 +64,8 @@ def main():
     n_par = sum(x.size for x in jax.tree.leaves(state.params))
     print(f"{args.cfg}: {n_par:,} params, batch {args.batch} @{args.img}")
 
-    step = make_train_step(model, loss_fn, tx, two_stream=True)
+    step = make_train_step(model, loss_fn, tx, two_stream=True,
+                           remat=args.remat)
     T = args.max_labels * args.batch
     targets = np.zeros((T, 6), np.float32)
     targets[:8, 1] = np.arange(8) % 3
@@ -85,6 +88,16 @@ def main():
             live["state"], metrics = step(live["state"], *batch, k)
         np.asarray(next(iter(metrics.values())))  # force completion (axon)
         return time.perf_counter() - t0
+
+    try:  # compiled peak-memory estimate (before running)
+        lowered = step.lower(state, *batch, jax.random.PRNGKey(1))
+        mem = lowered.compile().memory_analysis()
+        if mem is not None:
+            print(f"remat={args.remat}: temp (activation) memory "
+                  f"{mem.temp_size_in_bytes / 2**20:.0f} MiB, "
+                  f"args {mem.argument_size_in_bytes / 2**20:.0f} MiB")
+    except Exception as e:  # not all backends expose it
+        print(f"memory_analysis unavailable: {e}")
 
     run(2)  # compile + warmup
     t_short = run(args.steps // 3)
