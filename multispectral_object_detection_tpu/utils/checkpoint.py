@@ -139,7 +139,11 @@ def strip_checkpoint(path: str, out_path: Optional[str] = None):
     out = Path(out_path or path)
     out.mkdir(parents=True, exist_ok=True)
     slim = {"params": raw["ema_params"], "batch_stats": raw["ema_stats"]}
-    (out / "model.msgpack").write_bytes(serialization.msgpack_serialize(slim))
+    # atomic (tmp + rename): a kill mid-write must never leave a torn
+    # model.msgpack shadowing the intact state.msgpack
+    tmp = out / "model.msgpack.tmp"
+    tmp.write_bytes(serialization.msgpack_serialize(slim))
+    os.replace(tmp, out / "model.msgpack")
     meta["stripped"] = True
     (out / "meta.json").write_text(json.dumps(meta, indent=1))
 
