@@ -5,6 +5,13 @@ XLA-native deployment artifact is a serialized **StableHLO** program
 (jax.export): portable across JAX versions and loadable from C++ (PJRT) or
 Python without the model-building code. We also emit the msgpack weights and
 a JSON manifest (input shapes/dtypes, class names, stride/anchor metadata).
+
+Interchange for non-JAX consumers (the reference's ONNX/CoreML role):
+`--saved-model` emits a TensorFlow SavedModel via jax2tf and `--tflite` a
+TFLite flatbuffer — both serve the reference's deployment targets
+(TF Serving / mobile). Direct ONNX emission is CLOSED in this environment:
+no `onnx`/`tf2onnx` package ships here (measured, round 3) — the SavedModel
+is the documented bridge (tf2onnx converts it offline where available).
 """
 
 from __future__ import annotations
@@ -27,6 +34,13 @@ def parse_args(argv=None):
     ap.add_argument("--out", type=str, default="")
     ap.add_argument("--with-nms", action="store_true")
     ap.add_argument("--fp32", action="store_true")
+    ap.add_argument("--saved-model", action="store_true",
+                    help="also export a TF SavedModel via jax2tf (the "
+                         "interchange path for non-JAX consumers; convert "
+                         "to ONNX offline with tf2onnx)")
+    ap.add_argument("--tflite", action="store_true",
+                    help="also export a TFLite flatbuffer (the reference's "
+                         "CoreML mobile role, export.py:113-124)")
     return ap.parse_args(argv)
 
 
@@ -77,6 +91,34 @@ def run(args) -> str:
     }
     (out / "manifest.json").write_text(json.dumps(manifest, indent=1))
     logger.info(f"exported StableHLO -> {out}")
+
+    if args.saved_model or args.tflite:
+        # jax2tf bridge: bf16 params confuse the TFLite converter and some
+        # TF kernels on CPU — export the fp32 build for interchange
+        import tensorflow as tf
+        from jax.experimental import jax2tf
+
+        tf_fn = jax2tf.convert(fn, with_gradient=False)
+        spec = tf.TensorSpec((b, s, s, 3), tf.uint8)
+        tff = tf.function(tf_fn, input_signature=[spec, spec],
+                          autograph=False)
+        if args.saved_model:
+            module = tf.Module()
+            module.f = tff
+            sm_dir = out / "saved_model"
+            tf.saved_model.save(
+                module, str(sm_dir),
+                signatures=tff.get_concrete_function(spec, spec))
+            logger.info(f"exported TF SavedModel -> {sm_dir}")
+        if args.tflite:
+            conv = tf.lite.TFLiteConverter.from_concrete_functions(
+                [tff.get_concrete_function(spec, spec)])
+            conv.target_spec.supported_ops = [
+                tf.lite.OpsSet.TFLITE_BUILTINS,
+                tf.lite.OpsSet.SELECT_TF_OPS,  # jax2tf emits a few TF ops
+            ]
+            (out / "model.tflite").write_bytes(conv.convert())
+            logger.info(f"exported TFLite -> {out / 'model.tflite'}")
     return str(out)
 
 

@@ -37,6 +37,22 @@ def parse_args(argv=None):
                     help="write COCO-format detection JSON (test.py:172-182)")
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--fp32", action="store_true")
+    ap.add_argument("--save-txt", action="store_true",
+                    help="write per-image label txt files "
+                         "(labels/<stem>.txt: cls xywh-normalized, native "
+                         "space; test.py:296-303)")
+    ap.add_argument("--save-hybrid", action="store_true",
+                    help="inject ground-truth labels into NMS as "
+                         "unit-confidence candidates and save hybrid "
+                         "label+prediction txts (test.py:117, 301)")
+    ap.add_argument("--save-conf", action="store_true",
+                    help="append confidence to --save-txt lines")
+    ap.add_argument("--plots", action="store_true",
+                    help="emit confusion_matrix.png + PR/F1/P/R curve pngs "
+                         "into the run dir (test.py:253-257)")
+    ap.add_argument("--project", type=str, default="runs/test")
+    ap.add_argument("--name", type=str, default="exp")
+    ap.add_argument("--exist-ok", action="store_true")
     ap.add_argument("--no-rect", action="store_true",
                     help="square letterbox instead of rect batches (pad 0.5)")
     ap.add_argument("--compute-loss", action="store_true",
@@ -135,15 +151,31 @@ def run(args) -> dict:
         return speed_task(fwd, params, stats, loader, args)
 
     if args.task == "study":
-        # mAP-vs-image-size sweep (test.py:360-371)
+        # mAP-vs-image-size sweep (test.py:360-371); rows are appended to
+        # study_<cfg>.txt and plotted like plot_study_txt (plots.py:253)
         results = {}
+        rows = []
         for sz in [256, 320, 384, 448, 512, 640]:
             sub_args = argparse.Namespace(**vars(args))
             sub_args.img_size = sz
             sub_args.task = "val"
+            sub_args.plots = sub_args.save_txt = sub_args.save_hybrid = False
             r = run(sub_args)
             results[sz] = {"map50": r["map50"], "map": r["map"]}
+            rows.append([sz, r["mp"], r["mr"], r["map50"], r["map"],
+                         r["t_infer_ms"], r["t_nms_ms"]])
             logger.info(f"study @{sz}: mAP50 {r['map50']:.3f}")
+        from ..utils.general import increment_path
+        from ..utils.plots import plot_study
+
+        save_dir = increment_path(Path(args.project) / args.name,
+                                  exist_ok=args.exist_ok)
+        save_dir.mkdir(parents=True, exist_ok=True)
+        stem = Path(str(args.cfg)).stem
+        sf = save_dir / f"study_{stem}.txt"
+        np.savetxt(sf, np.asarray(rows), fmt="%.5g")
+        plot_study([str(sf)], str(save_dir / "study.png"))
+        logger.info(f"study results -> {sf}")
         return results
 
     coco = None
@@ -158,9 +190,66 @@ def run(args) -> dict:
         loss_fn = DetectionLoss(nc=nc,
                                 anchors_px=anchor_arrays(model.spec.anchors),
                                 strides=model.spec.strides)
+
+    # report surface (test.py:253-257, 296-303): run dir is created only
+    # when an artifact was requested
+    names = data.get("names", [str(i) for i in range(nc)])
+    save_dir = None
+    per_image = confusion = None
+    if args.save_txt or args.save_hybrid or args.plots:
+        from ..utils.general import increment_path
+
+        save_dir = increment_path(Path(args.project) / args.name,
+                                  exist_ok=args.exist_ok)
+        save_dir.mkdir(parents=True, exist_ok=True)
+    if args.plots:
+        from ..utils.metrics import ConfusionMatrix
+
+        confusion = ConfusionMatrix(nc=nc)
+    if args.save_txt or args.save_hybrid:
+        (save_dir / "labels").mkdir(exist_ok=True)
+
+        def per_image(idx, boxes, scores, classes, native_hw):
+            # native xyxy -> normalized xywh lines (test.py:296-303)
+            h0, w0 = native_hw
+            stem = Path(ds.rgb_files[idx]).stem
+            lines = []
+            for b, s, c in zip(boxes, scores, classes):
+                xc = (b[0] + b[2]) / 2 / w0
+                yc = (b[1] + b[3]) / 2 / h0
+                w = (b[2] - b[0]) / w0
+                h = (b[3] - b[1]) / h0
+                row = [int(c), xc, yc, w, h] + (
+                    [s] if args.save_conf else [])
+                lines.append(" ".join(f"{v:.6g}" if not isinstance(v, int)
+                                      else str(v) for v in row))
+            (save_dir / "labels" / f"{stem}.txt").write_text(
+                "\n".join(lines) + ("\n" if lines else ""))
+
     res = evaluate(fwd, params, stats, loader, nc=nc,
                    conf_thres=args.conf_thres, iou_thres=args.iou_thres,
-                   single_cls=args.single_cls, loss_fn=loss_fn)
+                   single_cls=args.single_cls, loss_fn=loss_fn,
+                   hybrid=args.save_hybrid, per_image=per_image,
+                   confusion=confusion, curves=args.plots)
+
+    if args.plots:
+        from ..utils.plots import (plot_confusion_matrix, plot_mc_curve,
+                                   plot_pr_curve)
+
+        plot_confusion_matrix(confusion.matrix, names,
+                              str(save_dir / "confusion_matrix.png"))
+        cv = res.get("curves")
+        if cv is not None:
+            cls_names = [names[int(c)] if int(c) < len(names) else str(c)
+                         for c in cv["cls_ids"]]
+            plot_pr_curve(cv["pr_px"], cv["pr_py"], cv["ap"],
+                          str(save_dir / "PR_curve.png"), cls_names)
+            for key, fname in (("f1", "F1_curve.png"), ("p", "P_curve.png"),
+                               ("r", "R_curve.png")):
+                plot_mc_curve(cv["px"], cv[key],
+                              str(save_dir / fname), cls_names,
+                              ylabel=key.upper())
+        logger.info(f"plots -> {save_dir}")
     if coco is not None:
         res["coco"] = coco
     if "val_loss" in res:
@@ -168,7 +257,6 @@ def run(args) -> dict:
         logger.info(f"val loss: box {vb:.4f} obj {vo:.4f} cls {vc:.4f}")
     if "lamr" in res:
         logger.info(f"log-average miss rate: {res['lamr']:.4f}")
-    names = data.get("names", [str(i) for i in range(nc)])
     logger.info(f"{'class':>12} {'P':>8} {'R':>8} {'mAP50':>8} "
                 f"{'mAP75':>8} {'mAP':>8}")
     logger.info(f"{'all':>12} {res['mp']:8.3f} {res['mr']:8.3f} "
@@ -183,7 +271,8 @@ def run(args) -> dict:
     if args.save_json:
         Path(args.save_json).write_text(json.dumps(
             {k: v for k, v in res.items()
-             if isinstance(v, (int, float, dict))}, indent=1, default=float))
+             if k != "curves" and isinstance(v, (int, float, dict))},
+            indent=1, default=float))
     return res
 
 

@@ -109,12 +109,13 @@ def run(args) -> dict:
     from ..models.configs import get_config
     from ..models.detect import anchor_arrays
     from ..parallel.mesh import (batch_sharding, make_mesh,
+                                 make_parallel_eval_forward,
                                  make_parallel_train_step, param_shardings,
-                                 shard_state)
+                                 resolve_data_axis, shard_state)
     from ..train.evaluator import evaluate
     from ..train.loss import DetectionLoss, LossHyp
     from ..train.optim import OptHyp, build_optimizer
-    from ..train.trainer import create_train_state, make_eval_forward
+    from ..train.trainer import create_train_state
     from ..utils.checkpoint import (load_checkpoint, save_checkpoint,
                                     strip_checkpoint, wait_pending)
     from ..utils.general import (check_dataset, check_file, check_img_size,
@@ -136,6 +137,21 @@ def run(args) -> dict:
     nc = 1 if args.single_cls else int(data["nc"])
     two_stream = "train_ir" in data
     img_size = check_img_size(args.img_size, 32)
+    # device-utilization guard: use every device group; round the batch up
+    # to a multiple rather than silently idling chips (the reference asserts
+    # divisibility instead, utils/torch_utils.py:83-86)
+    n_data, new_bs, changed = resolve_data_axis(
+        args.batch_size, len(jax.devices()), args.n_model)
+    if changed:
+        logger.warning(
+            f"--batch-size {args.batch_size} is not divisible by the "
+            f"{n_data}-way data axis; rounding up to {new_bs} so no device "
+            f"idles")
+        args.batch_size = new_bs
+    avail_groups = len(jax.devices()) // max(args.n_model, 1)
+    if n_data < avail_groups:
+        logger.warning(f"batch {args.batch_size} limits data axis to "
+                       f"{n_data} of {avail_groups} available device groups")
     hyp = load_hyp(args.hyp)
     hyp["label_smoothing"] = args.label_smoothing
     (save_dir / "hyp.yaml").write_text(yaml.safe_dump(hyp))
@@ -267,13 +283,6 @@ def run(args) -> dict:
                     f"from {args.weights}")
 
     # ---- mesh / sharding ------------------------------------------------------
-    import jax as _jax
-
-    avail = len(_jax.devices()) // args.n_model
-    n_data = max(d for d in range(1, avail + 1) if args.batch_size % d == 0)
-    if n_data < avail:
-        logger.warning(f"batch {args.batch_size} limits data axis to {n_data} "
-                       f"of {avail} available device groups")
     mesh = make_mesh(n_data=n_data, n_model=args.n_model)
     pshard = param_shardings(state.params, mesh,
                              tensor_parallel=args.n_model > 1)
@@ -283,11 +292,22 @@ def run(args) -> dict:
                                     tensor_parallel=args.n_model > 1,
                                     remat=args.remat)
     data_shard = batch_sharding(mesh)
-    fwd = make_eval_forward(model, two_stream=two_stream)
+    # in-train eval over the SAME mesh: per-epoch eval scales with the data
+    # axis instead of serializing on one chip (the reference evaluates on
+    # rank 0 only, train.py:805)
+    fwd = make_parallel_eval_forward(model, two_stream=two_stream, mesh=mesh,
+                                     batch_size=args.batch_size)
+    # device-side per-step metric accumulation: fetching scalars every step
+    # is 4 host round trips/step over the axon tunnel (PERF.md rule:
+    # fetch per epoch, never per step)
+    @jax.jit
+    def _acc_metrics(acc, m):
+        return acc + jnp.stack([m["box"], m["obj"], m["cls"], m["total"]])
 
     # ---- observability --------------------------------------------------------
     from ..utils.loggers import ExperimentLogger
-    from ..utils.plots import plot_batch, plot_labels, plot_results
+    from ..utils.plots import (plot_batch, plot_label_correlogram,
+                               plot_labels, plot_lr_schedule, plot_results)
 
     xlog = ExperimentLogger(str(save_dir), enable_tb=not args.nosave,
                             enable_wandb=args.wandb, config=vars(args),
@@ -297,6 +317,11 @@ def run(args) -> dict:
     if not args.nosave:
         try:
             plot_labels(train_ds.labels, data.get("names", []), str(save_dir))
+            plot_label_correlogram(train_ds.labels, str(save_dir))
+            # simulated LR trajectory (reference plots.py:206-220)
+            plot_lr_schedule(ohyp, steps_per_epoch, args.epochs,
+                             args.batch_size, str(save_dir),
+                             linear_lr=args.linear_lr)
         except Exception as e:
             logger.warning(f"label plot failed: {e}")
 
@@ -331,7 +356,7 @@ def run(args) -> dict:
     plotted = 0
     for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
-        agg = np.zeros(4)
+        agg_dev = jnp.zeros((4,), jnp.float32)  # on-device running sums
         nb = 0
         for batch in loader:
             key, sk = jax.random.split(key)
@@ -356,8 +381,7 @@ def run(args) -> dict:
                 rgb = jax.device_put(rgb_d, data_shard)
                 ir = jax.device_put(ir_d, data_shard)
                 state, m = step(state, rgb, ir, targets_d, tmask_d, sk)
-                agg += np.array([float(m["box"]), float(m["obj"]),
-                                 float(m["cls"]), float(m["total"])])
+                agg_dev = _acc_metrics(agg_dev, m)
                 nb += 1
                 continue
             if plotted < 3 and not args.nosave:
@@ -375,10 +399,10 @@ def run(args) -> dict:
             ir = jax.device_put(ir_np, data_shard)
             state, m = step(state, rgb, ir, jnp.asarray(batch["targets"]),
                             jnp.asarray(batch["tmask"]), sk)
-            agg += np.array([float(m["box"]), float(m["obj"]),
-                             float(m["cls"]), float(m["total"])])
+            agg_dev = _acc_metrics(agg_dev, m)
             nb += 1
-        agg /= max(nb, 1)
+        # ONE device->host fetch per epoch
+        agg = np.asarray(jax.device_get(agg_dev)) / max(nb, 1)
         line = (f"epoch {epoch}/{args.epochs - 1} "
                 f"box {agg[0]:.4f} obj {agg[1]:.4f} cls {agg[2]:.4f} "
                 f"total {agg[3]:.4f} ({time.time() - t0:.1f}s)")
@@ -491,6 +515,14 @@ def evolve(args) -> dict:
         if best is None or fi > best[0]:
             best = (fi, dict(hyp))
             (base_dir / "hyp_evolved.yaml").write_text(yaml.safe_dump(hyp))
+    if evolve_file.exists() and evolve_file.stat().st_size:
+        try:  # fitness-vs-hyp scatter grid (reference plots.py:333-358)
+            from ..utils.plots import plot_evolution
+
+            plot_evolution(str(evolve_file), keys,
+                           str(base_dir / "evolve.png"))
+        except Exception as e:
+            logger.warning(f"evolve plot failed: {e}")
     return {"best_fitness": best[0] if best else 0.0,
             "hyp": best[1] if best else hyp}
 

@@ -145,11 +145,10 @@ class Detector:
 
         from .ops.nms import batched_nms
 
-        model, params, stats = self.model, self.params, self.stats
+        model = self.model
         # one-time device commit (host numpy trees would re-upload per call)
-        params = jax.device_put(params)
-        stats = jax.device_put(stats)
-        self.params, self.stats = params, stats
+        self.params = jax.device_put(self.params)
+        self.stats = jax.device_put(self.stats)
         conf, iou = self.conf, self.iou
 
         # params/stats passed as jit arguments (closure captures would be
@@ -166,7 +165,10 @@ class Detector:
             return batched_nms(d, conf_thres=conf, iou_thres=iou,
                                multi_label=False, max_det=300, top_k=1024)
 
-        self._infer = lambda rgb, ir: infer(params, stats, rgb, ir)
+        # read self.params/self.stats at CALL time: a caller may swap in a
+        # new checkpoint after the first predict (already device-committed
+        # trees pay no re-upload; a fresh host tree uploads on its next use)
+        self._infer = lambda rgb, ir: infer(self.params, self.stats, rgb, ir)
 
     @staticmethod
     def _to_img(x) -> np.ndarray:

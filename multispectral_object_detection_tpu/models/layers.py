@@ -94,14 +94,15 @@ class Focus(nn.Module):
 
     NHWC: x (B, H, W, C) -> (B, H/2, W/2, 4C) -> Conv.
 
-    In the fused inference path the whole module is rewritten as ONE
-    k*2 x k*2 stride-2 convolution directly on the input — exactly
-    equivalent (the deinterleave is a bijection between the (2a+dy, 2b+dx)
-    taps of the big kernel and the (a, b) taps of the small kernel on
-    channel block dy+2*dx), but avoids materializing four strided slices +
-    a concat of the full-resolution input, which is pure HBM traffic at
-    P1. Training keeps the slice form so golden tests and the torch
-    importer see the reference layout.
+    Both the training and the fused inference path rewrite the whole
+    module as ONE k*2 x k*2 stride-2 convolution directly on the input —
+    exactly equivalent (the deinterleave is a bijection between the
+    (2a+dy, 2b+dx) taps of the big kernel and the (a, b) taps of the small
+    kernel on channel block dy+2*dx), but avoids materializing four strided
+    slices + a concat of the full-resolution input, which is pure HBM
+    traffic at P1. Only the STORED param layout keeps the reference
+    (k, k, 4C, c2) shape, so golden tests and the torch importer are
+    unaffected; flip FOCUS_STEM_CONV to recover the literal slice form.
     """
 
     c2: int

@@ -130,15 +130,21 @@ def _nms_single(pred, conf_thres: float, iou_thres: float, nc: int,
         # weighted box merging (general.py:530-536): each kept box becomes
         # the score-weighted mean of ALL candidates overlapping it above
         # iou_thres (in class-offset space); `redundant` drops kept boxes
-        # with no supporting neighbor
+        # with no supporting neighbor. Zero-score slots (below-conf /
+        # padding) are NOT candidates — they must neither weigh into the
+        # mean nor count as supporters. The reference runs this block only
+        # for 1 < n < 3000 candidates (general.py:530): a lone box is kept
+        # unmerged, and huge scenes skip merging entirely.
         cand_w = jnp.where(scores > 0.0, scores, 0.0)          # (K,)
+        n_cand = (cand_w > 0.0).sum()
         iou_km = pairwise_iou(shifted[idxs], shifted)           # (max_det, K)
-        sup = iou_km > iou_thres
+        sup = (iou_km > iou_thres) & (cand_w > 0.0)[None, :]
         w = sup.astype(jnp.float32) * cand_w[None, :]           # (max_det, K)
         denom = jnp.maximum(w.sum(axis=1, keepdims=True), 1e-9)
-        out_boxes = (w @ bxs) / denom
+        do_merge = (n_cand > 1) & (n_cand < 3000)
+        out_boxes = jnp.where(do_merge, (w @ bxs) / denom, out_boxes)
         if redundant:
-            vals = vals & (sup.sum(axis=1) > 1)
+            vals = vals & jnp.where(do_merge, sup.sum(axis=1) > 1, True)
 
     return Detections(
         boxes=jnp.where(vals[:, None], out_boxes, 0.0),

@@ -54,6 +54,27 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def resolve_data_axis(batch_size: int, n_devices: int,
+                      n_model: int = 1) -> tuple:
+    """Pick the data-parallel axis size and a compatible global batch.
+
+    The reference asserts `batch_size % world_size == 0`
+    (utils/torch_utils.py:83-86) and dies; silently idling devices (the
+    round-2 behavior) hides throughput loss. Policy: use every available
+    device group and ROUND THE BATCH UP to the next multiple — unless the
+    batch is smaller than the device count, in which case the data axis
+    shrinks to the batch (a 2-image debug run should not be inflated 4x).
+
+    Returns (n_data, batch_size, changed: bool).
+    """
+    avail = max(n_devices // max(n_model, 1), 1)
+    n_data = min(avail, batch_size)
+    if batch_size % n_data:
+        new_bs = ((batch_size + n_data - 1) // n_data) * n_data
+        return n_data, new_bs, True
+    return n_data, batch_size, False
+
+
 def _fusion_spec(path_keys, leaf) -> P:
     """Tensor-parallel PartitionSpec for CFT fusion params, replicated
     otherwise. The fusion stage stores stacked (L, ...) weights:

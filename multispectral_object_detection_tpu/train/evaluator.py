@@ -13,6 +13,7 @@ import time
 from typing import Callable, Dict
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..ops.nms import batched_nms
@@ -40,15 +41,36 @@ def _rescale_to_native(boxes: np.ndarray, canvas_hw, native_hw, ratio_pad):
 def evaluate(forward: Callable, params, batch_stats, loader, nc: int, *,
              conf_thres: float = 0.001, iou_thres: float = 0.6,
              single_cls: bool = False, max_det: int = 300,
-             top_k: int = 30000, loss_fn=None,
+             top_k: int = 30000, loss_fn=None, hybrid: bool = False,
+             per_image: Callable = None, confusion=None,
+             curves: bool = False,
              verbose: bool = False) -> Dict[str, object]:
     """Run the full eval protocol; returns the summarize_stats dict plus
-    speed counters (+val loss components when loss_fn given)."""
+    speed counters (+val loss components when loss_fn given).
+
+    hybrid: inject ground-truth labels as unit-confidence NMS candidates
+        (the reference's --save-hybrid autolabelling, test.py:117).
+    per_image(idx, native_boxes, scores, classes, native_hw): callback per
+        image with NMS output rescaled to native space (drives --save-txt).
+    confusion: a metrics.ConfusionMatrix accumulated over all images
+        (test.py:217).
+    curves: include plottable PR/P/R/F1 curves in the result (test.py:
+        253-257 via ap_per_class(plot=True))."""
     stats = []
     t_infer = t_nms = 0.0
     seen = 0
     loss_acc = np.zeros(3)
     nb = 0
+    jitted_loss = None
+    if loss_fn is not None:
+        # DetectionLoss.__call__ is hundreds of small jnp ops; unjitted it
+        # dispatches op-by-op (minutes over the axon tunnel). One cached jit
+        # per loss_fn instance: full batches share a program, the final
+        # partial batch compiles once more.
+        jitted_loss = getattr(loss_fn, "_jitted", None)
+        if jitted_loss is None:
+            jitted_loss = jax.jit(loss_fn.__call__)
+            loss_fn._jitted = jitted_loss
 
     for batch in loader:
         rgb = batch["rgb"]
@@ -59,16 +81,30 @@ def evaluate(forward: Callable, params, batch_stats, loader, nc: int, *,
         t1 = time.perf_counter()
         # full reference-width candidate pool: up to 30k pre-NMS boxes at
         # conf 0.001 (general.py:521-522)
+        nms_labels = nms_lmask = None
+        if hybrid:
+            # fold GT labels in as unit-confidence candidates: the collate
+            # layout is per-image contiguous blocks of max_labels rows
+            B = rgb.shape[0]
+            H, W = rgb.shape[1], rgb.shape[2]
+            tg = np.asarray(batch["targets"]).reshape(B, -1, 6)
+            nms_lmask = np.asarray(batch["tmask"]).reshape(B, -1)
+            xywh_px = tg[..., 2:6] * np.array([W, H, W, H], np.float32)
+            nms_labels = jnp.asarray(
+                np.concatenate([tg[..., 1:2], xywh_px], -1))
+            nms_lmask = jnp.asarray(nms_lmask)
         det = batched_nms(dets_flat, conf_thres=conf_thres,
                           iou_thres=iou_thres, multi_label=not single_cls,
-                          agnostic=single_cls, max_det=max_det, top_k=top_k)
+                          agnostic=single_cls, max_det=max_det, top_k=top_k,
+                          labels=nms_labels, labels_mask=nms_lmask)
         det = jax.block_until_ready(det)
         t2 = time.perf_counter()
         t_infer += t1 - t0
         t_nms += t2 - t1
 
-        if loss_fn is not None:
-            _, comps = loss_fn(feats, batch["targets"], batch["tmask"])
+        if jitted_loss is not None:
+            _, comps = jitted_loss(feats, jnp.asarray(batch["targets"]),
+                                   jnp.asarray(batch["tmask"]))
             loss_acc += np.array([float(comps["box"]), float(comps["obj"]),
                                   float(comps["cls"])])
             nb += 1
@@ -103,8 +139,13 @@ def evaluate(forward: Callable, params, batch_stats, loader, nc: int, *,
             correct = match_predictions(pb_n, pc.astype(float), tb_n,
                                         tcls.astype(float), IOU_THRESHOLDS)
             stats.append((correct, ps, pc.astype(float), list(tcls)))
+            if confusion is not None:
+                confusion.process_batch(pb_n, ps, pc.astype(float), tb_n,
+                                        tcls.astype(float))
+            if per_image is not None:
+                per_image(seen - 1, pb_n, ps, pc, native_hw)
 
-    out = summarize_stats(stats, nc)
+    out = summarize_stats(stats, nc, curves=curves)
     if nc == 1 and stats:
         # pedestrian-benchmark log-average miss rate (reference README table)
         from ..utils.metrics import log_average_miss_rate

@@ -223,15 +223,108 @@ def yolo_sgd(params_roles, hyp: OptHyp, steps_per_epoch: int, epochs: int,
     return optax.GradientTransformation(init, update)
 
 
+class AdamState(NamedTuple):
+    mu: Any                    # first-moment estimates
+    nu: Any                    # second-moment estimates
+    acc_grad: Any              # summed micro-batch gradients since last step
+    ni: jnp.ndarray            # global micro-batch counter (train.py:714)
+    gradient_steps: jnp.ndarray  # number of real optimizer steps taken
+    emitted: jnp.ndarray       # did the LAST update() emit a real step
+
+
+def yolo_adam(params_roles, hyp: OptHyp, steps_per_epoch: int, epochs: int,
+              accumulate: int = 1, total_batch_size: int = 64,
+              linear_lr: bool = False, warmup_min_iters: int = 1000,
+              b2: float = 0.999,
+              eps: float = 1e-8) -> optax.GradientTransformation:
+    """Torch-coupled Adam (train.py:562-565: Adam(lr0, betas=(momentum,
+    0.999)) over the same three param groups) with the same micro-batch
+    counter `ni` driving warmup / the per-epoch LR staircase / summed
+    accumulation as `yolo_sgd`.
+
+    Reference per-batch behavior it reproduces (train.py:735-773):
+    - lr warmup is np.interp'd in the GLOBAL batch index ni, including the
+      pg2 warmup_bias_lr ramp; afterwards lr = lr0 * lf(epoch) staircase;
+    - torch Adam param groups carry no 'momentum' key, so the momentum
+      warmup (train.py:743-744, guarded on `'momentum' in x`) does NOT
+      apply — betas stay fixed;
+    - the accumulate ramp applies (it lives outside the optimizer);
+    - weight decay is COUPLED L2 on pg1 only (torch.optim.Adam adds
+      wd * p to the gradient before the moment updates);
+    - bias correction uses the per-group step count = number of real
+      optimizer steps taken.
+    """
+    nbs = 64.0
+    wd = hyp.weight_decay * total_batch_size * accumulate / nbs  # train.py:546
+    b1 = hyp.momentum
+    sched = warmup_schedules(hyp, steps_per_epoch, epochs, total_batch_size,
+                             linear_lr, warmup_min_iters)
+
+    _ln_decay = jnp.asarray([1.0, 0.0]).reshape(2, 1)
+
+    def init(params):
+        return AdamState(mu=jax.tree.map(jnp.zeros_like, params),
+                         nu=jax.tree.map(jnp.zeros_like, params),
+                         acc_grad=jax.tree.map(jnp.zeros_like, params),
+                         ni=jnp.zeros((), jnp.int32),
+                         gradient_steps=jnp.zeros((), jnp.int32),
+                         emitted=jnp.asarray(False))
+
+    def update(grads, state, params=None):
+        lr_main, lr_bias, _mom, k = sched(state.ni)
+        emit = (state.ni % k) == 0
+        acc = jax.tree.map(jnp.add, state.acc_grad, grads)
+        t = (state.gradient_steps + 1).astype(jnp.float32)
+        bc1 = 1.0 - b1 ** t
+        bc2 = 1.0 - b2 ** t
+
+        def one(role, g, mu, nu, p):
+            if role == "frozen":
+                return (jnp.zeros_like(p), mu, nu)
+            if role == "kernel":
+                eff = g + wd * p
+                lr = lr_main
+            elif role == "ln_stacked":
+                eff = g + wd * _ln_decay * p
+                lr = jnp.stack([lr_main, lr_bias]).reshape(2, 1)
+            elif role == "bias":
+                eff = g
+                lr = lr_bias
+            else:  # norm
+                eff = g
+                lr = lr_main
+            new_mu = b1 * mu + (1.0 - b1) * eff
+            new_nu = b2 * nu + (1.0 - b2) * jnp.square(eff)
+            u = -lr * (new_mu / bc1) / (jnp.sqrt(new_nu / bc2) + eps)
+            return (jnp.where(emit, u, jnp.zeros_like(u)),
+                    jnp.where(emit, new_mu, mu),
+                    jnp.where(emit, new_nu, nu))
+
+        triples = jax.tree.map(one, params_roles, acc, state.mu, state.nu,
+                               params)
+        is_tri = lambda x: isinstance(x, tuple) and len(x) == 3 and not isinstance(x[0], tuple)  # noqa: E731
+        updates = jax.tree.map(lambda tr: tr[0], triples, is_leaf=is_tri)
+        mus = jax.tree.map(lambda tr: tr[1], triples, is_leaf=is_tri)
+        nus = jax.tree.map(lambda tr: tr[2], triples, is_leaf=is_tri)
+        acc_next = jax.tree.map(
+            lambda a: jnp.where(emit, jnp.zeros_like(a), a), acc)
+        return updates, AdamState(
+            mu=mus, nu=nus, acc_grad=acc_next, ni=state.ni + 1,
+            gradient_steps=state.gradient_steps + emit.astype(jnp.int32),
+            emitted=emit)
+
+    return optax.GradientTransformation(init, update)
+
+
 def opt_emitted(opt_state) -> jnp.ndarray:
     """Did the last tx.update() emit a real optimizer step?
 
     Used to gate EMA updates on optimizer emission (train.py:768-773: the
     reference calls ema.update only when the optimizer steps). Returns a
-    traced bool for SGDState/MultiStepsState; a static True otherwise
-    (unaccumulated optimizers emit every update).
+    traced bool for SGDState/AdamState/MultiStepsState; a static True
+    otherwise (unaccumulated optimizers emit every update).
     """
-    if isinstance(opt_state, SGDState):
+    if isinstance(opt_state, (SGDState, AdamState)):
         return opt_state.emitted
     if isinstance(opt_state, optax.MultiStepsState):
         return opt_state.mini_step == 0  # just wrapped -> emitted
@@ -244,21 +337,8 @@ def build_optimizer(params, hyp: OptHyp, steps_per_epoch: int, epochs: int,
     """Returns (tx, roles). Adam variant mirrors train.py:562-565."""
     roles = jax.tree_util.tree_map_with_path(param_role, params)
     if hyp.adam:
-        sched = warmup_schedules(hyp, steps_per_epoch, epochs,
-                                 total_batch_size, linear_lr,
-                                 warmup_min_iters)
-        wd = hyp.weight_decay * total_batch_size * accumulate / 64.0
-        mask = jax.tree.map(lambda r: r == "kernel", roles,
-                            is_leaf=lambda x: isinstance(x, str))
-        tx = optax.chain(
-            optax.add_decayed_weights(wd, mask=mask),
-            optax.scale_by_adam(b1=hyp.momentum, b2=0.999),
-            optax.scale_by_schedule(lambda c: -sched(c)[0]),
-        )
-        if accumulate > 1:
-            # reference SUMS micro-batch grads (torch backward accumulation)
-            tx = optax.MultiSteps(tx, every_k_schedule=accumulate,
-                                  use_grad_mean=False)
+        tx = yolo_adam(roles, hyp, steps_per_epoch, epochs, accumulate,
+                       total_batch_size, linear_lr, warmup_min_iters)
         return tx, roles
     tx = yolo_sgd(roles, hyp, steps_per_epoch, epochs, accumulate,
                   total_batch_size, linear_lr, warmup_min_iters)

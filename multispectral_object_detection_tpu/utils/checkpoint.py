@@ -22,6 +22,7 @@ from flax import serialization
 
 
 _pending = None  # at most one outstanding background write
+_pending_error = None  # exception raised by the last background write
 
 
 def _write_checkpoint(p: Path, host_state, info) -> None:
@@ -57,18 +58,32 @@ def save_checkpoint(path: str, state, *, epoch: int, best_fitness: float,
         return
     import threading
 
-    wait_pending()
-    _pending = threading.Thread(target=_write_checkpoint,
-                                args=(p, host_state, info), daemon=False)
+    wait_pending()  # re-raises if the PREVIOUS background write failed
+
+    def _run():
+        global _pending_error
+        try:
+            _write_checkpoint(p, host_state, info)
+        except BaseException as e:  # surfaced by the next wait_pending()
+            _pending_error = e
+
+    _pending = threading.Thread(target=_run, daemon=False)
     _pending.start()
 
 
 def wait_pending() -> None:
-    """Block until the outstanding background checkpoint write finishes."""
-    global _pending
+    """Block until the outstanding background checkpoint write finishes.
+
+    Re-raises any exception the writer thread hit (disk full, permissions):
+    a silently-failed write would leave last/best stale while training
+    reports success."""
+    global _pending, _pending_error
     if _pending is not None:
         _pending.join()
         _pending = None
+    if _pending_error is not None:
+        err, _pending_error = _pending_error, None
+        raise RuntimeError("background checkpoint write failed") from err
 
 
 def _state_dict(state) -> Dict[str, Any]:

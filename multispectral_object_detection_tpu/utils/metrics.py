@@ -65,11 +65,15 @@ def match_predictions(pred_boxes: np.ndarray, pred_cls: np.ndarray,
 
 
 def ap_per_class(tp: np.ndarray, conf: np.ndarray, pred_cls: np.ndarray,
-                 target_cls: np.ndarray):
+                 target_cls: np.ndarray, curves: bool = False):
     """Per-class AP over the IoU-threshold axis (utils/metrics.py:18-80).
 
     Returns (p, r, ap, f1, unique_classes): p/r/f1 at the max-F1 confidence,
-    ap with shape (n_classes_present, n_iou).
+    ap with shape (n_classes_present, n_iou). With `curves=True` a sixth
+    element is appended: a dict of the plottable curves the reference emits
+    with plot=True (metrics.py:29-76) — px (confidence grid), pr_px/pr_py
+    (per-class precision-over-recall at IoU .5), and the per-class
+    p/r/f1-over-confidence curves.
     """
     order = np.argsort(-conf)
     tp, conf, pred_cls = tp[order], conf[order], pred_cls[order]
@@ -80,12 +84,14 @@ def ap_per_class(tp: np.ndarray, conf: np.ndarray, pred_cls: np.ndarray,
     ap = np.zeros((nc, tp.shape[1]))
     p_curve = np.zeros((nc, 1000))
     r_curve = np.zeros((nc, 1000))
+    pr_py = []
 
     for ci, c in enumerate(classes):
         sel = pred_cls == c
         n_l = int((target_cls == c).sum())
         n_p = int(sel.sum())
         if n_p == 0 or n_l == 0:
+            pr_py.append(np.zeros_like(px))
             continue
         fpc = (1 - tp[sel]).cumsum(0)
         tpc = tp[sel].cumsum(0)
@@ -95,10 +101,20 @@ def ap_per_class(tp: np.ndarray, conf: np.ndarray, pred_cls: np.ndarray,
         p_curve[ci] = np.interp(-px, -conf[sel], precision[:, 0], left=1)
         for j in range(tp.shape[1]):
             ap[ci, j] = compute_ap(recall[:, j], precision[:, j])
+        # precision over the recall grid at IoU .5 (metrics.py:61)
+        mrec = np.concatenate(([0.0], recall[:, 0], [recall[-1, 0] + 0.01]))
+        mpre = np.concatenate(([1.0], precision[:, 0], [0.0]))
+        mpre = np.flip(np.maximum.accumulate(np.flip(mpre)))
+        pr_py.append(np.interp(px, mrec, mpre))
 
     f1 = 2 * p_curve * r_curve / (p_curve + r_curve + 1e-16)
     i = f1.mean(0).argmax()
-    return p_curve[:, i], r_curve[:, i], ap, f1[:, i], classes.astype(np.int32)
+    out = (p_curve[:, i], r_curve[:, i], ap, f1[:, i],
+           classes.astype(np.int32))
+    if curves:
+        out = out + (dict(px=px, pr_px=px, pr_py=pr_py, p=p_curve,
+                          r=r_curve, f1=f1),)
+    return out
 
 
 def compute_ap(recall: np.ndarray, precision: np.ndarray) -> float:
@@ -111,9 +127,10 @@ def compute_ap(recall: np.ndarray, precision: np.ndarray) -> float:
 
 
 def summarize_stats(stats: List[Tuple[np.ndarray, np.ndarray, np.ndarray, list]],
-                    nc: int) -> Dict[str, object]:
+                    nc: int, curves: bool = False) -> Dict[str, object]:
     """Aggregate per-image (correct, conf, pred_cls, target_cls) tuples into
-    the headline numbers (test.py:227-234)."""
+    the headline numbers (test.py:227-234). `curves=True` adds a 'curves'
+    entry with the plottable PR/P/R/F1 curves (see ap_per_class)."""
     if not stats:
         return dict(mp=0.0, mr=0.0, map50=0.0, map75=0.0, map=0.0,
                     per_class={}, nt=np.zeros(nc, dtype=int))
@@ -124,17 +141,21 @@ def summarize_stats(stats: List[Tuple[np.ndarray, np.ndarray, np.ndarray, list]]
     if tp.size == 0 or not tp.any():
         return dict(mp=0.0, mr=0.0, map50=0.0, map75=0.0, map=0.0,
                     per_class={}, nt=np.bincount(tcls.astype(int), minlength=nc))
-    p, r, ap, f1, cls_ids = ap_per_class(tp, conf, pcls, tcls)
+    res = ap_per_class(tp, conf, pcls, tcls, curves=curves)
+    p, r, ap, f1, cls_ids = res[:5]
     ap50, ap75, ap_mean = ap[:, 0], ap[:, 5], ap.mean(1)
     per_class = {int(c): dict(p=float(p[i]), r=float(r[i]), ap50=float(ap50[i]),
                               ap75=float(ap75[i]), ap=float(ap_mean[i]))
                  for i, c in enumerate(cls_ids)}
-    return dict(
+    out = dict(
         mp=float(p.mean()), mr=float(r.mean()), map50=float(ap50.mean()),
         map75=float(ap75.mean()), map=float(ap_mean.mean()),
         per_class=per_class,
         nt=np.bincount(tcls.astype(int), minlength=nc),
     )
+    if curves:
+        out["curves"] = dict(res[5], ap=ap, cls_ids=cls_ids)
+    return out
 
 
 def log_average_miss_rate(tp: np.ndarray, conf: np.ndarray, n_images: int,

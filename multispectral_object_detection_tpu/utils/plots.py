@@ -84,6 +84,30 @@ def plot_pr_curve(px: np.ndarray, py: Sequence[np.ndarray], ap: np.ndarray,
     plt.close(fig)
 
 
+def plot_mc_curve(px: np.ndarray, py: np.ndarray, save_path: str,
+                  names: Sequence[str] = (), xlabel: str = "Confidence",
+                  ylabel: str = "Metric"):
+    """Metric-vs-confidence curves, one line per class plus the mean
+    (reference metrics.py plot_mc_curve — the F1/P/R_curve.png emitters of
+    test.py:253-257 via ap_per_class(plot=True))."""
+    py = np.atleast_2d(py)
+    fig, ax = plt.subplots(figsize=(7, 6))
+    for i, y in enumerate(py):
+        label = names[i] if i < len(names) else str(i)
+        ax.plot(px, y, lw=1, label=label)
+    mean = py.mean(0)
+    ax.plot(px, mean, lw=2.5, color="blue",
+            label=f"all classes {mean.max():.2f} at "
+                  f"{px[mean.argmax()]:.3f}")
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(ylabel)
+    ax.set_xlim(0, 1)
+    ax.set_ylim(0, 1)
+    ax.legend(fontsize=8)
+    fig.savefig(save_path, dpi=150)
+    plt.close(fig)
+
+
 def plot_confusion_matrix(matrix: np.ndarray, names: Sequence[str],
                           save_path: str):
     n = matrix.shape[0]
@@ -106,6 +130,132 @@ def plot_confusion_matrix(matrix: np.ndarray, names: Sequence[str],
     fig.colorbar(im)
     fig.tight_layout()
     fig.savefig(save_path, dpi=150)
+    plt.close(fig)
+
+
+def plot_lr_schedule(hyp, steps_per_epoch: int, epochs: int,
+                     total_batch_size: int, save_dir: str,
+                     linear_lr: bool = False):
+    """Simulated LR trajectory -> LR.png (plots.py:206-220). The reference
+    replays its LambdaLR per epoch; here the optax schedule is replayed per
+    micro-batch, showing the warmup ramp AND the per-epoch staircase."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..train.optim import warmup_schedules
+
+    sched = warmup_schedules(hyp, steps_per_epoch, epochs, total_batch_size,
+                             linear_lr)
+    ni = jnp.arange(steps_per_epoch * epochs, dtype=jnp.int32)
+    lr_main, lr_bias, _, _ = jax.jit(jax.vmap(sched))(ni)
+    x = np.asarray(ni, dtype=np.float64) / steps_per_epoch
+    fig, ax = plt.subplots(figsize=(8, 4))
+    ax.plot(x, np.asarray(lr_main), label="lr (pg0/pg1)")
+    ax.plot(x, np.asarray(lr_bias), label="lr (bias pg2)", alpha=0.7)
+    ax.set_xlabel("epoch")
+    ax.set_ylabel("LR")
+    ax.grid(alpha=0.3)
+    ax.set_xlim(0, epochs)
+    ax.set_ylim(0)
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(Path(save_dir) / "LR.png", dpi=150)
+    plt.close(fig)
+
+
+def plot_study(study_files, save_path: str):
+    """mAP-vs-latency trade-off curves from study_*.txt rows written by the
+    test CLI's --task study (plots.py:253-283 plot_study_txt). Each row:
+    img_size P R mAP50 mAP t_infer_ms t_nms_ms."""
+    fig, ax = plt.subplots(figsize=(8, 5))
+    for f in study_files:
+        y = np.loadtxt(f, ndmin=2)
+        if not y.size:
+            continue
+        t_total = y[:, 5] + y[:, 6]
+        ax.plot(t_total, y[:, 4] * 100, ".-", lw=2, markersize=8,
+                label=Path(f).stem.replace("study_", ""))
+        for xi, yi, s in zip(t_total, y[:, 4] * 100, y[:, 0]):
+            ax.annotate(f"{int(s)}", (xi, yi), fontsize=7,
+                        xytext=(2, 2), textcoords="offset points")
+    ax.grid(alpha=0.2)
+    ax.set_xlabel("total latency (ms/img, infer+NMS)")
+    ax.set_ylabel("mAP 0.5:0.95")
+    ax.legend(loc="lower right")
+    fig.tight_layout()
+    fig.savefig(save_path, dpi=150)
+    plt.close(fig)
+
+
+def plot_evolution(evolve_file: str, keys, save_path: str):
+    """Hyperparameter-evolution scatter grid (plots.py:333-358): fitness vs
+    each evolved hyp, best marked. evolve.txt rows: fitness then one value
+    per key (the train CLI's evolve() format)."""
+    x = np.loadtxt(evolve_file, ndmin=2)
+    if not x.size:
+        return
+    f = x[:, 0]
+    n = len(keys)
+    cols = 5
+    rows = int(np.ceil(n / cols))
+    fig = plt.figure(figsize=(2.2 * cols, 2.2 * rows))
+    for i, k in enumerate(keys):
+        y = x[:, i + 1]
+        mu = y[f.argmax()]
+        ax = fig.add_subplot(rows, cols, i + 1)
+        ax.scatter(y, f, c=f, cmap="viridis", alpha=0.8, edgecolors="none",
+                   s=12)
+        ax.plot(mu, f.max(), "k+", markersize=12)
+        ax.set_title(f"{k} = {mu:.3g}", fontsize=8)
+        ax.tick_params(labelsize=6)
+        if i % cols:
+            ax.set_yticks([])
+    fig.tight_layout()
+    fig.savefig(save_path, dpi=150)
+    plt.close(fig)
+
+
+def plot_label_correlogram(labels, save_dir: str):
+    """xywh pair-scatter correlogram (plots.py:290-296 uses seaborn
+    pairplot; plain-matplotlib equivalent so the dependency stays
+    optional — seaborn is used when importable)."""
+    all_l = np.concatenate([l for l in labels if len(l)], 0) if any(
+        len(l) for l in labels) else np.zeros((0, 5))
+    if not len(all_l):
+        return
+    cols = ["x", "y", "width", "height"]
+    data = all_l[:, 1:5]
+    try:
+        import pandas as pd
+        import seaborn as sn
+
+        sn.pairplot(pd.DataFrame(data, columns=cols), corner=True,
+                    diag_kind="auto", kind="hist",
+                    diag_kws=dict(bins=50),
+                    plot_kws=dict(pmax=0.9)).savefig(
+                        Path(save_dir) / "labels_correlogram.jpg", dpi=120)
+        plt.close("all")
+        return
+    except ImportError:
+        pass
+    fig, axs = plt.subplots(4, 4, figsize=(10, 10))
+    for i in range(4):
+        for j in range(4):
+            ax = axs[i][j]
+            if j > i:
+                ax.axis("off")
+                continue
+            if i == j:
+                ax.hist(data[:, i], bins=50)
+            else:
+                ax.hist2d(data[:, j], data[:, i], bins=50, cmin=1)
+            if i == 3:
+                ax.set_xlabel(cols[j], fontsize=8)
+            if j == 0:
+                ax.set_ylabel(cols[i], fontsize=8)
+            ax.tick_params(labelsize=6)
+    fig.tight_layout()
+    fig.savefig(Path(save_dir) / "labels_correlogram.jpg", dpi=120)
     plt.close(fig)
 
 

@@ -109,3 +109,19 @@ def test_merge_nms_weighted_boxes():
     det3 = batched_nms(jnp.asarray(pred), conf_thres=0.25, iou_thres=0.45,
                        max_det=10)
     assert np.asarray(det3.valid[0]).sum() == 2  # plain NMS unaffected
+
+
+def test_merge_nms_single_candidate_kept():
+    """The reference gates merging on 1 < n < 3000 (general.py:530): a lone
+    candidate is returned untouched even with redundant=True, and zero-score
+    padded slots never count as supporters (ADVICE round-2)."""
+    nc = 1
+    pred = np.zeros((1, 6, 5 + nc), np.float32)
+    pred[0, 0] = [50, 50, 20, 20, 0.9, 1.0]
+    # rows 1..5 stay zero: padded/below-conf slots whose boxes are (0,0,0,0)
+    det = batched_nms(jnp.asarray(pred), conf_thres=0.25, iou_thres=0.45,
+                      merge=True, redundant=True, max_det=10)
+    v = np.asarray(det.valid[0])
+    assert v.sum() == 1  # kept, not dropped by a phantom redundancy check
+    b = np.asarray(det.boxes[0])[v][0]
+    np.testing.assert_allclose(b, [40, 40, 60, 60], atol=1e-3)  # unmerged

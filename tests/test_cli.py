@@ -64,6 +64,42 @@ def test_train_test_detect_cli(workspace):
     assert any(det_dir.glob("*_rgb.jpg"))
 
 
+def test_test_cli_report_surface(workspace, tmp_path):
+    """--plots/--save-txt/--save-conf/--save-hybrid artifacts land in the
+    run dir and read back (reference test.py:253-257, 296-303)."""
+    root, data_yaml = workspace
+    run_dir = root / "runs" / "exp"  # from test_train_test_detect_cli
+    from multispectral_object_detection_tpu.cli.test_cli import main as test_main
+
+    ev = test_main([
+        "--cfg", "yolov5n_fusion_add", "--data", data_yaml,
+        "--weights", str(run_dir / "last"), "--batch-size", "4",
+        "--img-size", "128", "--fp32", "--plots", "--save-txt",
+        "--save-conf", "--project", str(tmp_path / "rt"), "--name", "e"])
+    out = tmp_path / "rt" / "e"
+    for f in ("confusion_matrix.png", "PR_curve.png", "F1_curve.png",
+              "P_curve.png", "R_curve.png"):
+        assert (out / f).exists(), f
+    txts = list((out / "labels").glob("*.txt"))
+    assert len(txts) == 8  # one per val image
+    rows = [l.split() for t in txts for l in t.read_text().splitlines()]
+    for r in rows:
+        assert len(r) == 6  # cls xywh conf (--save-conf)
+        assert 0 <= float(r[1]) <= 1 and 0 <= float(r[3]) <= 1
+    assert "curves" in ev
+
+    # hybrid autolabelling: GT injected as unit-confidence candidates ->
+    # every image yields at least its labels back
+    ev2 = test_main([
+        "--cfg", "yolov5n_fusion_add", "--data", data_yaml,
+        "--weights", str(run_dir / "last"), "--batch-size", "4",
+        "--img-size", "128", "--fp32", "--save-hybrid",
+        "--project", str(tmp_path / "rt"), "--name", "h"])
+    txts2 = {t.stem: t for t in (tmp_path / "rt" / "h" / "labels").glob("*.txt")}
+    assert len(txts2) == 8
+    assert ev2["mr"] > 0.99  # GT candidates guarantee full recall
+
+
 def test_single_stream_cli(workspace, tmp_path):
     """The legacy single-stream path (reference train.py:45 train())."""
     root, data_yaml = workspace

@@ -188,3 +188,25 @@ head:
     assert spec.nodes[0].kind == "Focus"
     assert spec.nodes[-1].kind == "Detect"
     assert spec.nodes[-2].c2 == 64 + 128  # concat sums width-scaled channels
+
+
+def test_anchor_presets():
+    """ANCHOR_PRESETS mirrors the reference asset models/hub/anchors.yaml
+    (pinned against the file when the reference checkout is present)."""
+    from pathlib import Path
+
+    import yaml
+
+    from multispectral_object_detection_tpu.models.configs import (
+        ANCHOR_PRESETS)
+
+    for name, rows in ANCHOR_PRESETS.items():
+        nl = int(name[1])  # p5/p6/p7 -> pyramid depth
+        assert len(rows) == nl - 2
+        assert all(len(r) == 6 for r in rows)  # 3 anchors x (w, h)
+    ref = Path("/root/reference/models/hub/anchors.yaml")
+    if ref.exists():
+        got = yaml.safe_load(ref.read_text())
+        for k, rows in got.items():
+            ours = ANCHOR_PRESETS[k.replace("anchors_", "")]
+            assert [list(r) for r in rows] == ours, k

@@ -14,8 +14,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from multispectral_object_detection_tpu.train.optim import (
-    OptHyp, SGDState, build_optimizer, ema_decay_schedule, ema_update,
-    one_cycle_lf, opt_emitted, param_role, warmup_schedules, yolo_sgd)
+    AdamState, OptHyp, SGDState, build_optimizer, ema_decay_schedule,
+    ema_update, one_cycle_lf, opt_emitted, param_role, warmup_schedules,
+    yolo_adam, yolo_sgd)
 
 
 def _roles_tree():
@@ -189,6 +190,80 @@ def test_param_roles():
     assert roles["blocks_10"]["ln1"] == "ln_stacked"
     assert roles["blocks_10"]["qkv_w"] == "kernel"
     assert roles["blocks_10"]["qkv_b"] == "bias"
+
+
+def test_adam_matches_torch():
+    """yolo_adam reproduces torch.optim.Adam (train.py:562-565) bit-for-bit
+    on a kernel (coupled-L2-decayed) and a bias (undecayed, warmup_bias_lr
+    group) leaf when driven with the same per-step lr trajectory."""
+    import torch
+
+    hyp = OptHyp(lr0=0.01, lrf=0.2, momentum=0.937, weight_decay=0.05,
+                 warmup_epochs=3.0, warmup_bias_lr=0.1, adam=True)
+    nb, epochs, total_bs = 50, 5, 64  # accumulate = 1
+    roles = {"k": "kernel", "b": "bias"}
+    params = {"k": jnp.asarray([1.0, -2.0, 0.5]),
+              "b": jnp.asarray([0.3, -0.7])}
+    tx = yolo_adam(roles, hyp, steps_per_epoch=nb, epochs=epochs,
+                   total_batch_size=total_bs, warmup_min_iters=10)
+    state = tx.init(params)
+    sched = warmup_schedules(hyp, nb, epochs, total_bs, warmup_min_iters=10)
+
+    tk = torch.tensor([1.0, -2.0, 0.5], requires_grad=True)
+    tb = torch.tensor([0.3, -0.7], requires_grad=True)
+    wd = hyp.weight_decay * total_bs * 1 / 64.0
+    topt = torch.optim.Adam(
+        [{"params": [tk], "weight_decay": wd},
+         {"params": [tb], "weight_decay": 0.0}],
+        lr=hyp.lr0, betas=(hyp.momentum, 0.999))
+
+    rng = np.random.default_rng(3)
+    cur = params
+    for ni in range(25):
+        g = {"k": jnp.asarray(rng.normal(size=3), jnp.float32),
+             "b": jnp.asarray(rng.normal(size=2), jnp.float32)}
+        upd, state = tx.update(g, state, cur)
+        cur = jax.tree.map(lambda p, u: p + u, cur, upd)
+
+        lr_m, lr_b, _, _ = sched(jnp.asarray(ni, jnp.int32))
+        topt.param_groups[0]["lr"] = float(lr_m)
+        topt.param_groups[1]["lr"] = float(lr_b)
+        tk.grad = torch.tensor(np.asarray(g["k"]))
+        tb.grad = torch.tensor(np.asarray(g["b"]))
+        topt.step()
+    np.testing.assert_allclose(np.asarray(cur["k"]),
+                               tk.detach().numpy(), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(cur["b"]),
+                               tb.detach().numpy(), rtol=1e-5, atol=1e-7)
+
+
+def test_adam_warmup_accumulation_per_microbatch():
+    """ADVICE round-2 medium: the Adam schedule must advance per MICRO-batch
+    (global ni), not per emission — first step at ni=0, bias group ramping
+    from warmup_bias_lr, accumulate ramp honored."""
+    hyp = OptHyp(lr0=0.01, warmup_epochs=3.0, warmup_bias_lr=0.1, adam=True)
+    params = {"kernel": jnp.ones((2,)), "bias": jnp.ones((2,))}
+    tx, roles = build_optimizer(params, hyp, steps_per_epoch=100, epochs=300,
+                                accumulate=4, total_batch_size=16)
+    assert roles == {"kernel": "kernel", "bias": "bias"}
+    state = tx.init(params)
+    assert isinstance(state, AdamState)
+    g = jax.tree.map(jnp.ones_like, params)
+    upd, state = tx.update(g, state, params)
+    # emission at ni=0 (reference: ni % accumulate == 0 holds at ni=0)
+    assert bool(opt_emitted(state))
+    assert int(state.gradient_steps) == 1
+    # bias lr at ni=0 is warmup_bias_lr; Adam's first unit-grad step is
+    # -lr * mhat/(sqrt(vhat)+eps) = -lr / (1+eps) ~ -lr
+    np.testing.assert_allclose(np.asarray(upd["bias"]), -0.1, rtol=1e-4)
+    # main lr at ni=0 is exactly 0
+    assert float(jnp.abs(upd["kernel"]).max()) < 1e-9
+    # warmup ramps accumulate toward 4: by ni=1000 emissions are 1-in-4,
+    # NOT 1000 (per-emission-counter bug would hit 1000 emissions)
+    for _ in range(999):
+        _, state = tx.update(g, state, params)
+    assert int(state.ni) == 1000
+    assert 250 <= int(state.gradient_steps) <= 999  # ramp: between 1/4 and 1/1
 
 
 def test_ema_schedule_and_update():

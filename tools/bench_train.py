@@ -33,6 +33,11 @@ def main():
     ap.add_argument("--profile", action="store_true",
                     help="per-op device profile of the train step "
                          "(top-30 HLO ops by time)")
+    ap.add_argument("--in-loop", action="store_true",
+                    help="also time the step inside a realistic epoch loop "
+                         "(device-side metric accumulation, ONE fetch at "
+                         "the end — the train_cli pattern) and inside the "
+                         "old per-step host-sync loop, vs the isolated step")
     ap.add_argument("--top", type=int, default=30)
     args = ap.parse_args()
 
@@ -106,6 +111,38 @@ def main():
     pairs = args.batch / dt
     print(f"train step: {dt * 1e3:.1f} ms / batch-{args.batch} = "
           f"{pairs:.1f} pairs/s/chip")
+
+    if args.in_loop:
+        # the train_cli epoch-loop pattern: metrics summed on device, one
+        # fetch per "epoch" (VERDICT round-2 weak #1: the old loop fetched
+        # 4 scalars per step, each a tunnel round trip)
+        @jax.jit
+        def acc_m(acc, m):
+            return acc + jnp.stack([m["box"], m["obj"], m["cls"],
+                                    m["total"]])
+
+        def run_loop(n, host_sync):
+            agg = jnp.zeros((4,), jnp.float32)
+            t0 = time.perf_counter()
+            for _ in range(n):
+                live["rng"], k = jax.random.split(live["rng"])
+                live["state"], m = step(live["state"], *batch, k)
+                if host_sync:
+                    _ = [float(m[c])
+                         for c in ("box", "obj", "cls", "total")]
+                else:
+                    agg = acc_m(agg, m)
+            np.asarray(jax.device_get(agg))
+            return time.perf_counter() - t0
+
+        for host_sync, tag in ((False, "device-accum loop (train_cli)"),
+                               (True, "per-step host-sync loop (old)")):
+            run_loop(2, host_sync)  # warm the acc_m program
+            t_s = run_loop(args.steps // 3, host_sync)
+            t_l = run_loop(args.steps, host_sync)
+            d = (t_l - t_s) / (args.steps - args.steps // 3)
+            print(f"{tag}: {d * 1e3:.1f} ms/step "
+                  f"({(d / dt - 1) * 100:+.1f}% vs isolated step)")
 
     if args.profile:
         import tempfile

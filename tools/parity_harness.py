@@ -82,14 +82,73 @@ def make_data(out: Path, n_train: int, n_val: int, img: int):
     return dy
 
 
-def dump_cfg(out: Path) -> Path:
-    """Our DSL dict doubles as a reference-format YAML (same schema)."""
+def dump_cfg(out: Path, cfg_name: str) -> Path:
+    """Our DSL dict doubles as a reference-format YAML (same schema —
+    module names incl. GPT/Add2 are the reference's, models/transformer/
+    yolov5l_fusion_transformerx3_llvip.yaml)."""
     from multispectral_object_detection_tpu.models.configs import get_config
 
-    cfg = get_config("yolov5n_fusion_add", nc=2)
+    cfg = get_config(cfg_name, nc=2)
     p = out / "model.yaml"
     p.write_text(yaml.safe_dump(cfg))
     return p
+
+
+def torch_param_groups(model):
+    """Replicate the reference's optimizer grouping (train.py:548-560) on a
+    torch module: pg0 = BN weights (no decay), pg1 = other module .weight
+    (DECAYED — includes LayerNorm scales), pg2 = module .bias; plain
+    nn.Parameter attributes (GPT.pos_emb, MultiheadAttention in_proj_*)
+    land in NO group and are frozen. Returns numel per bucket."""
+    import torch.nn as nn
+
+    pg0 = pg1 = pg2 = 0
+    for m in model.modules():
+        if hasattr(m, "bias") and isinstance(m.bias, nn.Parameter):
+            pg2 += m.bias.numel()
+        if isinstance(m, nn.BatchNorm2d):
+            pg0 += m.weight.numel()
+        elif hasattr(m, "weight") and isinstance(m.weight, nn.Parameter):
+            pg1 += m.weight.numel()
+    total = sum(p.numel() for p in model.parameters())
+    return {"pg0_bn": pg0, "pg1_decayed": pg1, "pg2_bias": pg2,
+            "frozen": total - pg0 - pg1 - pg2, "total": total}
+
+
+def our_param_groups(cfg_name: str, img: int):
+    """Our param_role buckets mapped onto the reference's groups: norm->pg0,
+    kernel + ln-scale-half->pg1, bias + ln-bias-half->pg2, frozen->frozen."""
+    import jax
+    import jax.numpy as jnp
+
+    from multispectral_object_detection_tpu.models import build_model
+    from multispectral_object_detection_tpu.models.configs import get_config
+    from multispectral_object_detection_tpu.train.optim import param_role
+
+    model = build_model(get_config(cfg_name, nc=2), dtype=jnp.float32)
+    x = jnp.zeros((1, img, img, 3), jnp.float32)
+    args = (x,) if not model.spec.two_stream else (x, x)
+    shapes = jax.eval_shape(lambda *a: model.init(jax.random.PRNGKey(0), *a,
+                                                  train=False), *args)
+    params = shapes["params"]
+    roles = jax.tree_util.tree_map_with_path(param_role, params)
+    buckets = {"pg0_bn": 0, "pg1_decayed": 0, "pg2_bias": 0, "frozen": 0,
+               "total": 0}
+    for role, leaf in zip(jax.tree.leaves(roles), jax.tree.leaves(params)):
+        n = int(np.prod(leaf.shape))
+        buckets["total"] += n
+        if role == "norm":
+            buckets["pg0_bn"] += n
+        elif role == "kernel":
+            buckets["pg1_decayed"] += n
+        elif role == "bias":
+            buckets["pg2_bias"] += n
+        elif role == "ln_stacked":  # (.., 2, C): [scale, bias] halves
+            buckets["pg1_decayed"] += n // 2
+            buckets["pg2_bias"] += n // 2
+        else:
+            buckets["frozen"] += n
+    return buckets
 
 
 def run_reference(out: Path, data_yaml: Path, cfg_yaml: Path, epochs: int,
@@ -164,23 +223,50 @@ def run_reference(out: Path, data_yaml: Path, cfg_yaml: Path, epochs: int,
     sd = {k: v.float().numpy() for k, v in model.float().state_dict().items()}
     npz = out / "ref_weights.npz"
     np.savez(npz, **sd)
-    return results, npz
+    groups = torch_param_groups(model)
+    # frozen-parameter invariant (common.py:565 + train.py:548-560): plain
+    # nn.Parameter attributes are in NO optimizer group; the CFT pos_emb
+    # must still be its zeros init after training
+    pos_keys = [k for k in sd if "pos_emb" in k]
+    pos_frozen = all(float(np.abs(sd[k]).max()) == 0.0 for k in pos_keys)
+    return results, npz, groups, {"pos_emb_keys": pos_keys,
+                                  "pos_emb_zero": pos_frozen}
 
 
-def run_ours(out: Path, data_yaml: Path, epochs: int, batch: int, img: int):
+def run_ours(out: Path, data_yaml: Path, cfg_name: str, epochs: int,
+             batch: int, img: int):
     from multispectral_object_detection_tpu.cli.train_cli import main
+    from multispectral_object_detection_tpu.utils.checkpoint import (
+        load_checkpoint)
 
     res = main([
-        "--cfg", "yolov5n_fusion_add", "--data", str(data_yaml),
+        "--cfg", cfg_name, "--data", str(data_yaml),
         "--epochs", str(epochs), "--batch-size", str(batch),
         "--img-size", str(img), "--project", str(out / "ours"),
         "--name", "run", "--fp32", "--max-labels", "60", "--noautoanchor",
     ])
+    # our side of the frozen-pos_emb invariant: after the full recipe the
+    # EMA pos_emb leaves must still be exactly zero
+    raw, _ = load_checkpoint(str(out / "ours" / "run" / "last"))
+
+    def walk(t, path=""):
+        if isinstance(t, dict):
+            for k, v in t.items():
+                yield from walk(v, f"{path}/{k}")
+        else:
+            yield path, t
+
+    pos = [(p, v) for p, v in walk(raw.get("ema_params", {}))
+           if "pos_emb" in p]
+    res = dict(res)
+    res["pos_emb_keys"] = [p for p, _ in pos]
+    res["pos_emb_zero"] = all(float(np.abs(np.asarray(v)).max()) == 0.0
+                              for _, v in pos)
     return res
 
 
-def eval_imported(out: Path, data_yaml: Path, npz: Path, batch: int,
-                  img: int):
+def eval_imported(out: Path, data_yaml: Path, npz: Path, cfg_name: str,
+                  batch: int, img: int):
     """OUR evaluator on the reference's weights (eval-parity side b)."""
     import jax
     import jax.numpy as jnp
@@ -198,8 +284,7 @@ def eval_imported(out: Path, data_yaml: Path, npz: Path, batch: int,
         convert_state_dict, load_npz_state_dict)
 
     data = yaml.safe_load(Path(data_yaml).read_text())
-    model = build_model(get_config("yolov5n_fusion_add", nc=2),
-                        dtype=jnp.float32)
+    model = build_model(get_config(cfg_name, nc=2), dtype=jnp.float32)
     x = jnp.zeros((1, img, img, 3), jnp.float32)
     variables = jax.jit(
         lambda r, a, b: model.init(r, a, b, train=False))(
@@ -223,6 +308,9 @@ def eval_imported(out: Path, data_yaml: Path, npz: Path, batch: int,
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--cfg", type=str, default="yolov5n_fusion_add",
+                    help="config name; use yolov5n_fusion_transformerx3 for "
+                         "the CFT (paper-path) parity leg")
     ap.add_argument("--epochs", type=int, default=40)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--img", type=int, default=160)
@@ -241,22 +329,30 @@ def main():
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
     data_yaml = make_data(out, args.n_train, args.n_val, args.img)
-    cfg_yaml = dump_cfg(out)
+    cfg_yaml = dump_cfg(out, args.cfg)
 
-    ref_results, npz = run_reference(out, data_yaml, cfg_yaml, args.epochs,
-                                     args.batch, args.img,
-                                     notest=args.notest)
+    # recipe-structure parity BEFORE the long runs: our optimizer roles
+    # must bucket every parameter exactly like train.py:548-560
+    ours_groups = our_param_groups(args.cfg, args.img)
+
+    ref_results, npz, ref_groups, ref_frozen = run_reference(
+        out, data_yaml, cfg_yaml, args.epochs, args.batch, args.img,
+        notest=args.notest)
     mp, mr, map50, map75, mAP = [float(v) for v in ref_results[:5]]
     print(f"reference final: P {mp:.3f} R {mr:.3f} mAP50 {map50:.4f} "
           f"mAP {mAP:.4f}")
+    print(f"param groups  ref: {ref_groups}")
+    print(f"param groups ours: {ours_groups}")
+    groups_match = ref_groups == ours_groups
 
     ours = None
     if not args.skip_ours:
-        ours = run_ours(out, data_yaml, args.epochs, args.batch, args.img)
+        ours = run_ours(out, data_yaml, args.cfg, args.epochs, args.batch,
+                        args.img)
         print(f"ours final: mAP50 {ours['map50']:.4f} mAP {ours['map']:.4f}")
 
-    imp, (n_c, n_t) = eval_imported(out, data_yaml, npz, args.batch,
-                                    args.img)
+    imp, (n_c, n_t) = eval_imported(out, data_yaml, npz, args.cfg,
+                                    args.batch, args.img)
     print(f"our evaluator on reference weights: mAP50 {imp['map50']:.4f} "
           f"mAP {imp['map']:.4f}")
 
@@ -264,7 +360,7 @@ def main():
         "# Cross-framework parity (synthetic paired dataset)",
         "",
         f"dataset: {args.n_train} train / {args.n_val} val @{args.img}px, "
-        f"nc=2; cfg yolov5n_fusion_add; {args.epochs} epochs, batch "
+        f"nc=2; cfg {args.cfg}; {args.epochs} epochs, batch "
         f"{args.batch}, hyp.scratch",
         "",
         "| side | mAP50 | mAP | note |",
@@ -282,14 +378,29 @@ def main():
         f"eval-parity delta (same weights): "
         f"|Δ mAP50| = {abs(imp['map50'] - map50) * 100:.2f} pts "
         f"(bar: < 0.1 pt... on identical weights)",
+        "",
+        f"optimizer param-group parity (train.py:548-560): "
+        f"{'MATCH' if groups_match else 'MISMATCH'} — "
+        f"pg0/pg1/pg2/frozen numels ref {ref_groups} vs ours {ours_groups}",
     ]
+    if ref_frozen["pos_emb_keys"]:
+        lines.append(
+            f"pos_emb frozen-at-zero (common.py:565): reference "
+            f"{'yes' if ref_frozen['pos_emb_zero'] else 'NO'} "
+            f"({len(ref_frozen['pos_emb_keys'])} tensors), ours "
+            f"{'yes' if ours and ours.get('pos_emb_zero') else ('n/a' if not ours else 'NO')}")
     (out / "PARITY.md").write_text("\n".join(lines))
     print("\n".join(lines))
     (out / "summary.json").write_text(json.dumps({
+        "cfg": args.cfg,
         "ref": {"map50": map50, "map": mAP},
-        "ours": ({"map50": ours["map50"], "map": ours["map"]}
+        "ours": ({"map50": ours["map50"], "map": ours["map"],
+                  "pos_emb_zero": ours.get("pos_emb_zero")}
                  if ours else None),
         "ours_on_ref_weights": {"map50": imp["map50"], "map": imp["map"]},
+        "param_groups": {"ref": ref_groups, "ours": ours_groups,
+                         "match": groups_match},
+        "ref_pos_emb_zero": ref_frozen["pos_emb_zero"],
     }, default=float))
 
 
