@@ -84,3 +84,41 @@ def test_plots_smoke(tmp_path):
     plot_confusion_matrix(np.array([[5, 1, 0], [0, 4, 1], [1, 0, 3]]),
                           ["a", "b"], str(tmp_path / "cm.png"))
     assert (tmp_path / "cm.png").exists()
+
+def test_plots_tail_smoke(tmp_path):
+    """Round-3 plot tail: LR schedule, evolution scatter, study trade-off,
+    label correlogram, metric-confidence curves (reference plots.py:206,
+    253, 333; metrics.py plot_mc_curve)."""
+    import numpy as np
+
+    from multispectral_object_detection_tpu.train.optim import OptHyp
+    from multispectral_object_detection_tpu.utils.plots import (
+        plot_evolution, plot_label_correlogram, plot_lr_schedule,
+        plot_mc_curve, plot_study)
+
+    plot_lr_schedule(OptHyp(), steps_per_epoch=20, epochs=5,
+                     total_batch_size=16, save_dir=str(tmp_path))
+    assert (tmp_path / "LR.png").exists()
+
+    keys = ["lr0", "momentum", "box"]
+    rows = np.column_stack([np.random.default_rng(0).random((6, 1)),
+                            np.random.default_rng(1).random((6, 3))])
+    np.savetxt(tmp_path / "evolve.txt", rows)
+    plot_evolution(str(tmp_path / "evolve.txt"), keys,
+                   str(tmp_path / "evolve.png"))
+    assert (tmp_path / "evolve.png").exists()
+
+    study = np.array([[256, .5, .6, .55, .35, 3.0, 0.4],
+                      [512, .6, .7, .68, .45, 7.0, 0.4]])
+    np.savetxt(tmp_path / "study_x.txt", study, fmt="%.5g")
+    plot_study([str(tmp_path / "study_x.txt")], str(tmp_path / "study.png"))
+    assert (tmp_path / "study.png").exists()
+
+    labels = _labels(4)
+    plot_label_correlogram(labels, str(tmp_path))
+    assert (tmp_path / "labels_correlogram.jpg").exists()
+
+    px = np.linspace(0, 1, 40)
+    plot_mc_curve(px, np.stack([1 - px, (1 - px) ** 2]),
+                  str(tmp_path / "F1.png"), ["a", "b"], ylabel="F1")
+    assert (tmp_path / "F1.png").exists()

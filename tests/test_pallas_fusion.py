@@ -56,3 +56,24 @@ def test_reference_matches_fusion_module():
     # LN epsilons differ (flax 1e-6 default vs kernel 1e-6) — must agree
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
                                rtol=5e-4, atol=5e-4)
+
+
+def test_pallas_c3_bottleneck_interpret():
+    """tools/exp_pallas_c3 kernel == jnp reference (interpret mode): the
+    9-tap shifted-matmul C3 bottleneck candidate (PERF.md round-3 lever)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from tools.exp_pallas_c3 import bottleneck_pallas, bottleneck_ref
+
+    rng = np.random.default_rng(7)
+    C = 64
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, C)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(C, C)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(C,)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(3, 3, C, C)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(C,)) * 0.1, jnp.float32)
+    got = np.asarray(bottleneck_pallas(x, w1, b1, w2, b2, row_chunk=8,
+                                       interpret=True))
+    ref = np.asarray(bottleneck_ref(x, w1, b1, w2, b2))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
