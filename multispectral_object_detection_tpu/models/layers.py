@@ -193,8 +193,26 @@ class _FocusStemConv(nn.Module):
         return nn.silu(y) if self.act else y
 
 
+class _ConvParamShell(nn.Module):
+    """Bare fused-conv param leaves nested to mirror ConvBnAct's tree
+    (<name>/conv/{kernel,bias}) so fuse_conv_bn / the torch importer see
+    the reference layout while a Pallas kernel consumes them directly."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return _RawConvParams(self.shape, use_bias=True, name="conv")()
+
+
 class Bottleneck(nn.Module):
-    """1x1 -> 3x3 with optional residual (common.py:99)."""
+    """1x1 -> 3x3 with optional residual (common.py:99).
+
+    With `use_pallas` (fused-inference only) the whole residual bottleneck
+    runs as ONE Pallas kernel (ops/pallas_c3.py): VMEM-resident
+    intermediate, 3x3 as 9 shifted row-slice matmuls. Param tree is
+    unchanged (cv1/conv, cv2/conv with bias, like every fused ConvBnAct).
+    """
 
     c1: int
     c2: int
@@ -203,10 +221,22 @@ class Bottleneck(nn.Module):
     e: float = 0.5
     dtype: Any = jnp.float32
     fused: bool = False
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = int(self.c2 * self.e)
+        if (self.use_pallas and self.fused and not train and self.shortcut
+                and self.g == 1 and self.c1 == self.c2 == c_
+                and c_ % 64 == 0):
+            from ..ops.pallas_c3 import bottleneck_pallas
+
+            k1, b1 = _ConvParamShell((1, 1, c_, c_), name="cv1")()
+            k2, b2 = _ConvParamShell((3, 3, c_, c_), name="cv2")()
+            interp = jax.default_backend() != "tpu"
+            return bottleneck_pallas(
+                x.astype(self.dtype), k1.reshape(c_, c_).astype(self.dtype),
+                b1, k2.astype(self.dtype), b2, interpret=interp)
         y = ConvBnAct(c_, 1, 1, dtype=self.dtype, fused=self.fused,
                       name="cv1")(x, train=train)
         y = ConvBnAct(self.c2, 3, 1, g=self.g, dtype=self.dtype,
@@ -227,6 +257,7 @@ class C3(nn.Module):
     e: float = 0.5
     dtype: Any = jnp.float32
     fused: bool = False
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -236,6 +267,7 @@ class C3(nn.Module):
         for i in range(self.n):
             y1 = Bottleneck(c_, c_, self.shortcut, self.g, e=1.0,
                             dtype=self.dtype, fused=self.fused,
+                            use_pallas=self.use_pallas,
                             name=f"m{i}")(y1, train=train)
         y2 = ConvBnAct(c_, 1, 1, dtype=self.dtype, fused=self.fused,
                        name="cv2")(x, train=train)

@@ -49,7 +49,7 @@ def _build_module(node: Node, dtype, fused: bool = False,
     if k == "C3":
         return L.C3(a[0], a[1], n=a[2],
                     shortcut=a[3] if len(a) > 3 else True, dtype=dtype,
-                    fused=fused)
+                    fused=fused, use_pallas=use_pallas)
     if k == "C3TR":
         return L.C3TR(a[0], a[1], n=a[2],
                       shortcut=a[3] if len(a) > 3 else True, dtype=dtype,

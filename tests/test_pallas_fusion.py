@@ -64,7 +64,8 @@ def test_pallas_c3_bottleneck_interpret():
     import numpy as np
     import jax.numpy as jnp
 
-    from tools.exp_pallas_c3 import bottleneck_pallas, bottleneck_ref
+    from multispectral_object_detection_tpu.ops.pallas_c3 import (
+        bottleneck_pallas, bottleneck_ref)
 
     rng = np.random.default_rng(7)
     C = 64
@@ -77,3 +78,24 @@ def test_pallas_c3_bottleneck_interpret():
                                        interpret=True))
     ref = np.asarray(bottleneck_ref(x, w1, b1, w2, b2))
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_c3_use_pallas_matches_xla_path():
+    """C3(use_pallas=True) must consume the SAME param tree as the plain
+    fused C3 and produce the same output (interpret mode on CPU)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from multispectral_object_detection_tpu.models import layers as L
+
+    mod_a = L.C3(128, 128, n=2, dtype=jnp.float32, fused=True)
+    mod_b = L.C3(128, 128, n=2, dtype=jnp.float32, fused=True,
+                 use_pallas=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 128))
+    v = mod_a.init(jax.random.PRNGKey(1), x)
+    v2 = mod_b.init(jax.random.PRNGKey(1), x)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
+    ya = np.asarray(mod_a.apply(v, x))
+    yb = np.asarray(mod_b.apply(v, x))
+    np.testing.assert_allclose(ya, yb, rtol=2e-5, atol=2e-5)
