@@ -95,6 +95,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ref-run", type=str, default="/tmp/parity_250",
                     help="parity_harness output dir (ckpt + npz weights)")
+    ap.add_argument("--cfg", type=str, default="yolov5n_fusion_add")
     ap.add_argument("--n-val", type=int, default=128)
     ap.add_argument("--img", type=int, default=160)
     ap.add_argument("--batch", type=int, default=8)
@@ -110,8 +111,8 @@ def main():
 
     data_yaml, data = make_val(out, args.n_val, args.img, args.seed)
 
-    ours, (n_c, n_t) = eval_imported(out, data_yaml, npz, args.batch,
-                                     args.img)
+    ours, (n_c, n_t) = eval_imported(out, data_yaml, npz, args.cfg,
+                                     args.batch, args.img)
     print(f"OURS   (imported {n_c}/{n_t}): mAP50 {ours['map50']:.4f} "
           f"mAP75 {ours['map75']:.4f} mAP {ours['map']:.4f}")
 
