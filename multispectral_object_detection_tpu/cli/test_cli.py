@@ -185,11 +185,16 @@ def run(args) -> dict:
     loss_fn = None
     if args.compute_loss:
         from ..models.detect import anchor_arrays
-        from ..train.loss import DetectionLoss
+        from ..train.loss import DetectionLoss, LossHyp, scale_gains
 
+        # same gain rescaling the trainer applies (reference train.py:661-663)
+        # so reported val losses are on the training scale
         loss_fn = DetectionLoss(nc=nc,
                                 anchors_px=anchor_arrays(model.spec.anchors),
-                                strides=model.spec.strides)
+                                strides=model.spec.strides,
+                                hyp=scale_gains(LossHyp(), nc=nc,
+                                                img_size=args.img_size,
+                                                nl=len(model.spec.strides)))
 
     # report surface (test.py:253-257, 296-303): run dir is created only
     # when an artifact was requested

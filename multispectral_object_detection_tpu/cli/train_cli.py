@@ -113,7 +113,7 @@ def run(args) -> dict:
                                  make_parallel_train_step, param_shardings,
                                  resolve_data_axis, shard_state)
     from ..train.evaluator import evaluate
-    from ..train.loss import DetectionLoss, LossHyp
+    from ..train.loss import DetectionLoss, LossHyp, scale_gains
     from ..train.optim import OptHyp, build_optimizer
     from ..train.trainer import create_train_state
     from ..utils.checkpoint import (load_checkpoint, save_checkpoint,
@@ -231,6 +231,9 @@ def run(args) -> dict:
                    cls_pw=hyp["cls_pw"], obj_pw=hyp["obj_pw"],
                    anchor_t=hyp["anchor_t"], fl_gamma=hyp["fl_gamma"],
                    label_smoothing=hyp["label_smoothing"])
+    # scale gains to layers/classes/image size (reference train.py:661-663)
+    lhyp = scale_gains(lhyp, nc=nc, img_size=img_size,
+                       nl=len(spec.strides))
     loss_fn = DetectionLoss(nc=nc, anchors_px=anchor_arrays(spec.anchors),
                             strides=spec.strides, hyp=lhyp)
 

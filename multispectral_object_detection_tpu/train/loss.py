@@ -47,6 +47,22 @@ class LossHyp:
     gr: float = 1.0  # iou-ratio for objectness targets (train.py:680)
 
 
+def scale_gains(hyp: LossHyp, nc: int, img_size: int, nl: int) -> LossHyp:
+    """Rescale the raw hyp gains to the model/task, reference train.py:661-663:
+
+        box *= 3/nl; cls *= nc/80 * 3/nl; obj *= (imgsz/640)^2 * 3/nl
+
+    The reference applies this once before building ComputeLoss; omitting it
+    over-weights obj/cls relative to box by up to 16x/40x at small nc/imgsz
+    (measured: the round-3 CFT parity A/B trained without it lost 8 pts
+    mAP(0.5:0.95) to delayed box-regression learning)."""
+    return dataclasses.replace(
+        hyp,
+        box=hyp.box * 3.0 / nl,
+        cls=hyp.cls * nc / 80.0 * 3.0 / nl,
+        obj=hyp.obj * (img_size / 640.0) ** 2 * 3.0 / nl)
+
+
 def _bce_logits(logits, targets, pos_weight: float = 1.0):
     """Elementwise binary cross-entropy with logits, torch-compatible:
     loss = -[pw * t * log sigmoid(x) + (1 - t) * log sigmoid(-x)]."""

@@ -103,3 +103,23 @@ def test_single_class_skips_cls_loss():
     total, comps = loss_fn(feats, t, jnp.ones((1,)))
     assert float(comps["cls"]) == 0.0
     assert float(comps["box"]) > 0.0
+
+
+def test_scale_gains_matches_reference_formula():
+    """Reference train.py:661-663: gains are rescaled to layers / classes /
+    image size before ComputeLoss is built. Round-3 regression: training
+    without this over-weights obj by (640/imgsz)^2 and cls by 80/nc."""
+    from multispectral_object_detection_tpu.train.loss import (LossHyp,
+                                                               scale_gains)
+
+    h = scale_gains(LossHyp(), nc=2, img_size=160, nl=3)
+    assert abs(h.box - 0.05) < 1e-9            # 0.05 * 3/3
+    assert abs(h.cls - 0.0125) < 1e-9          # 0.5 * 2/80 * 3/3
+    assert abs(h.obj - 0.0625) < 1e-9          # 1.0 * (160/640)^2 * 3/3
+    # P6-style 4-layer head at 1280px, nc=80
+    h = scale_gains(LossHyp(), nc=80, img_size=1280, nl=4)
+    assert abs(h.box - 0.05 * 0.75) < 1e-9
+    assert abs(h.cls - 0.5 * 0.75) < 1e-9
+    assert abs(h.obj - 1.0 * 4.0 * 0.75) < 1e-9
+    # non-gain fields untouched
+    assert h.anchor_t == 4.0 and h.gr == 1.0
