@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--fp32-params", action="store_true",
                     help="keep stored params fp32 (A/B the weight-traffic "
                          "saving of the default bf16 cast)")
+    ap.add_argument("--pallas-c3", action="store_true",
+                    help="route square-channel C3 bottlenecks through the "
+                         "fused Pallas kernel (ops/pallas_c3.py)")
     args = ap.parse_args()
 
     import jax
@@ -66,7 +69,7 @@ def main():
     # inference-time BN folding (the reference's Model.fuse()) + fused
     # Pallas CFT stack
     fused_model = build_model(model.spec, dtype=jnp.bfloat16, fused=True,
-                              use_pallas=True)
+                              use_pallas=True, use_pallas_c3=args.pallas_c3)
     params = fuse_conv_bn_params(variables["params"],
                                  variables.get("batch_stats", {}))
     if not args.fp32_params:

@@ -24,7 +24,8 @@ from .parser import ModelSpec, Node, parse_model_config
 
 
 def _build_module(node: Node, dtype, fused: bool = False,
-                  use_pallas: bool = False) -> nn.Module:
+                  use_pallas: bool = False,
+                  use_pallas_c3: bool = False) -> nn.Module:
     k, a = node.kind, node.args
     if k == "Conv":
         return L.ConvBnAct(c2=a[1], k=a[2] if len(a) > 2 else 1,
@@ -49,7 +50,7 @@ def _build_module(node: Node, dtype, fused: bool = False,
     if k == "C3":
         return L.C3(a[0], a[1], n=a[2],
                     shortcut=a[3] if len(a) > 3 else True, dtype=dtype,
-                    fused=fused, use_pallas=use_pallas)
+                    fused=fused, use_pallas=use_pallas_c3)
     if k == "C3TR":
         return L.C3TR(a[0], a[1], n=a[2],
                       shortcut=a[3] if len(a) > 3 else True, dtype=dtype,
@@ -117,6 +118,7 @@ class DetectionModel(nn.Module):
     dtype: Any = jnp.float32
     fused: bool = False       # BN folded into conv weights (inference only)
     use_pallas: bool = False  # fused Pallas CFT stack (inference only)
+    use_pallas_c3: bool = False  # fused Pallas C3 bottlenecks (inference only)
 
     def setup(self):
         mods = []
@@ -126,11 +128,13 @@ class DetectionModel(nn.Module):
                                    strides=self.spec.strides, dtype=self.dtype))
             elif node.repeats > 1:
                 mods.append([_build_module(node, self.dtype, self.fused,
-                                           self.use_pallas)
+                                           self.use_pallas,
+                                           self.use_pallas_c3)
                              for _ in range(node.repeats)])
             else:
                 mods.append(_build_module(node, self.dtype, self.fused,
-                                          self.use_pallas))
+                                          self.use_pallas,
+                                          self.use_pallas_c3))
         self.blocks = mods
 
     def __call__(self, x, x2=None, train: bool = False):
@@ -166,12 +170,13 @@ class DetectionModel(nn.Module):
 
 def build_model(cfg, ch_in: int = 3, nc: Optional[int] = None, anchors=None,
                 dtype=jnp.float32, fused: bool = False,
-                use_pallas: bool = False) -> DetectionModel:
+                use_pallas: bool = False,
+                use_pallas_c3: bool = False) -> DetectionModel:
     """YAML path/dict -> DetectionModel (the `Model(cfg)` of yolo_test.py:165)."""
     spec = cfg if isinstance(cfg, ModelSpec) else parse_model_config(
         cfg, ch_in=ch_in, nc=nc, anchors=anchors)
     return DetectionModel(spec=spec, dtype=dtype, fused=fused,
-                          use_pallas=use_pallas)
+                          use_pallas=use_pallas, use_pallas_c3=use_pallas_c3)
 
 
 def cast_inference_params(tree, dtype):
