@@ -49,18 +49,21 @@ def bottleneck_ref(x, w1, b1, w2, b2):
 def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, zpad_ref, *,
             H: int, W: int, C: int, Rt: int):
     Wp = W + 2
-    x = x_ref[0]                                   # (H, Wp, C), width-padded
-    dt = x.dtype
-
-    z = jnp.dot(x.reshape(H * Wp, C), w1_ref[...],
-                preferred_element_type=jnp.float32) + b1_ref[0]
-    # pad columns recomputed to zero (silu(b1) != 0 there)
-    col = jax.lax.broadcasted_iota(jnp.int32, (H * Wp, C), 0) % Wp
-    z = jnp.where((col >= 1) & (col <= W), _silu(z), 0.0).astype(dt)
+    dt = x_ref.dtype
 
     zpad_ref[0:Wp, :] = jnp.zeros((Wp, C), dt)            # top pad row
-    zpad_ref[Wp:(H + 1) * Wp, :] = z
     zpad_ref[(H + 1) * Wp:(H + 3) * Wp, :] = jnp.zeros((2 * Wp, C), dt)
+    # 1x1 per row chunk: keeps the fp32 dot output and the column-mask
+    # iota slab-sized (full-image fp32 temporaries blew the 16 MB scoped
+    # VMEM limit inside the flagship program — measured round 3)
+    for r0 in range(0, H, Rt):
+        x = x_ref[0, r0:r0 + Rt]                   # (Rt, Wp, C), width-padded
+        z = jnp.dot(x.reshape(Rt * Wp, C), w1_ref[...],
+                    preferred_element_type=jnp.float32) + b1_ref[0]
+        # pad columns recomputed to zero (silu(b1) != 0 there)
+        col = jax.lax.broadcasted_iota(jnp.int32, (Rt * Wp, C), 0) % Wp
+        z = jnp.where((col >= 1) & (col <= W), _silu(z), 0.0).astype(dt)
+        zpad_ref[(r0 + 1) * Wp:(r0 + 1 + Rt) * Wp, :] = z
 
     b2 = b2_ref[0]
     for r0 in range(0, H, Rt):                     # static row chunks
@@ -107,5 +110,9 @@ def bottleneck_pallas(x, w1, b1, w2, b2, row_chunk: int = 0,
         out_specs=pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
         scratch_shapes=[pltpu.VMEM(((H + 3) * (W + 2), C), x.dtype)],
+        # image-sized double-buffered IO blocks + scratch exceed the 16 MB
+        # default scoped-vmem cap at the flagship's P2 shape (19.6 MB
+        # measured); v5e has 128 MB VMEM — raise the cap for this kernel
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
         interpret=interpret,
     )(xp, w1, b1.reshape(1, C), w2r, b2.reshape(1, C))
