@@ -14,13 +14,53 @@ Prints ONE JSON line to stdout; diagnostics go to stderr.
 from __future__ import annotations
 
 import argparse
+import contextlib
 import json
+import os
 import sys
+import threading
 import time
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+_WD = {"deadline": None, "stage": None}
+
+
+def _watchdog_monitor():
+    # The dead-tunnel hang sits inside a C extension call that never
+    # returns to the interpreter, so SIGALRM handlers are queued but never
+    # executed (measured: alarm(120) did not fire in 300 s). A monitor
+    # thread + os._exit is the only reliable escape.
+    while True:
+        time.sleep(1.0)
+        dl = _WD["deadline"]
+        if dl is not None and time.monotonic() > dl:
+            print(json.dumps({
+                "metric":
+                    "cft_l_640_dual_stream_inference_pairs_per_sec_per_chip",
+                "error": f"watchdog: stage '{_WD['stage']}' timed out — "
+                         "TPU tunnel likely down",
+                "value": None,
+                "unit": "image-pairs/s",
+            }), flush=True)
+            sys.stderr.flush()
+            os._exit(1)
+
+
+@contextlib.contextmanager
+def watchdog(seconds: int, stage: str):
+    """Fail fast (one JSON error line, rc=1) instead of hanging forever
+    when the TPU tunnel is down — round 3's BENCH snapshot was rc=1 with
+    zero output because jax.devices() blocked indefinitely."""
+    _WD["stage"] = stage
+    _WD["deadline"] = time.monotonic() + seconds
+    try:
+        yield
+    finally:
+        _WD["deadline"] = None
 
 
 def main():
@@ -48,7 +88,8 @@ def main():
     from multispectral_object_detection_tpu.models.model import fuse_conv_bn_params
     from multispectral_object_detection_tpu.ops.nms import batched_nms
 
-    log(f"devices: {jax.devices()}")
+    with watchdog(120, "backend init (jax.devices)"):
+        log(f"devices: {jax.devices()}")
     model = build_model(yolov5_two_stream(args.scale, nc=1,
                                           fusion="transformerx3"),
                         dtype=jnp.bfloat16)
@@ -61,8 +102,10 @@ def main():
         0, 255, size=(b, s, s, 3), dtype=np.uint8))
 
     t0 = time.perf_counter()
-    init_fn = jax.jit(lambda r, a, b: model.init(r, a, b, train=False))
-    variables = init_fn(rng, jnp.zeros((1, s, s, 3)), jnp.zeros((1, s, s, 3)))
+    with watchdog(600, "model init"):
+        init_fn = jax.jit(lambda r, a, b: model.init(r, a, b, train=False))
+        variables = init_fn(rng, jnp.zeros((1, s, s, 3)),
+                            jnp.zeros((1, s, s, 3)))
     log(f"init: {time.perf_counter() - t0:.1f}s, params = "
         f"{sum(x.size for x in jax.tree.leaves(variables['params'])):,}")
 
@@ -98,8 +141,9 @@ def main():
         np.asarray(leaf)
 
     t0 = time.perf_counter()
-    out = infer(params, rgb, ir)
-    sync(out)
+    with watchdog(600, "compile + first device fetch"):
+        out = infer(params, rgb, ir)
+        sync(out)
     log(f"compile+first run: {time.perf_counter() - t0:.1f}s")
 
     def timed(n):
@@ -109,9 +153,10 @@ def main():
         sync(out)
         return time.perf_counter() - t0
 
-    timed(args.warmup)
-    t_small = timed(max(args.iters // 4, 2))
-    t_big = timed(args.iters)
+    with watchdog(900, "benchmark loop"):
+        timed(args.warmup)
+        t_small = timed(max(args.iters // 4, 2))
+        t_big = timed(args.iters)
     # difference cancels the one-off host-fetch latency
     n_diff = args.iters - max(args.iters // 4, 2)
     dt = (t_big - t_small) if n_diff > 0 else t_big
@@ -128,4 +173,5 @@ def main():
 
 
 if __name__ == "__main__":
+    threading.Thread(target=_watchdog_monitor, daemon=True).start()
     main()
