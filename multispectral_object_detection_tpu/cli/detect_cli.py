@@ -38,6 +38,11 @@ def parse_args(argv=None):
     ap.add_argument("--agnostic-nms", action="store_true")
     ap.add_argument("--merge-nms", action="store_true",
                     help="weighted box merging (general.py:530-536)")
+    ap.add_argument("--augment", action="store_true",
+                    help="test-time augmentation: 3 scales + lr flip "
+                         "(detect_twostream.py:213 -> :83; upstream's "
+                         "two-stream TTA is broken, ours runs both "
+                         "modalities — train/tta.py)")
     ap.add_argument("--project", type=str, default="runs/detect")
     ap.add_argument("--name", type=str, default="exp")
     ap.add_argument("--exist-ok", action="store_true")
@@ -122,10 +127,17 @@ def run(args) -> dict:
     @jax.jit
     def _infer(params, stats, rgb_u8, ir_u8):
         x = rgb_u8.astype(jnp.float32) / 255.0
-        inputs = (x,) if not two_stream else (x, ir_u8.astype(jnp.float32) / 255.0)
-        feats = model.apply({"params": params, "batch_stats": stats},
-                            *inputs, train=False)
-        dets = model.decode(feats)
+        if args.augment:
+            from ..train.tta import tta_forward
+
+            x2 = ir_u8.astype(jnp.float32) / 255.0 if two_stream else None
+            dets = tta_forward(model, params, stats, x, x2)
+        else:
+            inputs = (x,) if not two_stream else \
+                (x, ir_u8.astype(jnp.float32) / 255.0)
+            feats = model.apply({"params": params, "batch_stats": stats},
+                                *inputs, train=False)
+            dets = model.decode(feats)
         return batched_nms(dets, conf_thres=args.conf_thres,
                            iou_thres=args.iou_thres, multi_label=False,
                            agnostic=args.agnostic_nms, max_det=args.max_det,

@@ -30,6 +30,11 @@ def parse_args(argv=None):
     ap.add_argument("--iou-thres", type=float, default=0.6)
     ap.add_argument("--task", type=str, default="val",
                     choices=["val", "test", "speed", "study"])
+    ap.add_argument("--augment", action="store_true",
+                    help="test-time augmentation: 3 scales + lr flip "
+                         "(test.py:309 -> test.py:118; the reference's "
+                         "two-stream TTA branch is broken upstream, "
+                         "yolo_test.py:222 — ours runs both modalities)")
     ap.add_argument("--single-cls", action="store_true")
     ap.add_argument("--max-labels", type=int, default=300)
     ap.add_argument("--save-json", type=str, default="")
@@ -124,7 +129,16 @@ def run(args) -> dict:
                 l[:, 0] = 0
     loader = BatchLoader(ds, args.batch_size, shuffle=False,
                          max_labels=args.max_labels, drop_last=False)
-    if args.data_parallel > 1:
+    if args.augment and args.compute_loss:
+        raise SystemExit("--augment cannot compute val loss (TTA feature "
+                         "pyramids differ per scale); drop --compute-loss")
+    if args.augment and args.data_parallel > 1:
+        raise SystemExit("--augment is single-device; drop --data-parallel")
+    if args.augment:
+        from ..train.trainer import make_eval_forward_tta
+
+        fwd = make_eval_forward_tta(model, two_stream=two_stream)
+    elif args.data_parallel > 1:
         import jax
 
         from ..parallel.mesh import make_mesh, make_parallel_eval_forward

@@ -34,8 +34,11 @@ def parse_args(argv=None):
     ap.add_argument("--img-size", type=int, default=640)
     ap.add_argument("--weights", type=str, default="",
                     help="checkpoint dir to warm-start from")
-    ap.add_argument("--resume", type=str, default="",
-                    help="checkpoint dir to resume (restores optimizer/epoch)")
+    ap.add_argument("--resume", nargs="?", const=True, default="",
+                    help="checkpoint dir to resume (restores optimizer/"
+                         "epoch); bare --resume auto-locates the most "
+                         "recent run's last checkpoint (train.py:969-977 "
+                         "via get_latest_run, general.py:48-51)")
     ap.add_argument("--project", type=str, default="runs/train")
     ap.add_argument("--name", type=str, default="exp")
     ap.add_argument("--exist-ok", action="store_true")
@@ -253,6 +256,18 @@ def run(args) -> dict:
                 f"accumulate={accumulate}")
 
     start_epoch, best_fitness = 0, 0.0
+    if args.resume is True:
+        # bare --resume: find the newest run's last checkpoint
+        # (train.py:969-977 -> get_latest_run, general.py:48-51)
+        from ..utils.general import get_latest_run
+
+        found = get_latest_run(args.project) or get_latest_run("runs")
+        if not found:
+            raise SystemExit(
+                f"--resume: no 'last' checkpoint found under "
+                f"{args.project} or runs/")
+        args.resume = found
+        logger.info(f"--resume: auto-located {found}")
     if str(args.resume).startswith("wandb-artifact://"):
         # resume-from-artifact (wandb_utils.py:110-135)
         local = xlog_resume = None

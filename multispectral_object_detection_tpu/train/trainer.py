@@ -139,3 +139,22 @@ def make_eval_forward(model, two_stream: bool) -> Callable:
         return model.decode(feats), feats
 
     return fwd
+
+
+def make_eval_forward_tta(model, two_stream: bool) -> Callable:
+    """Jitted test-time-augmentation forward (3 scales + lr flip,
+    train/tta.py) + decode, drop-in for make_eval_forward.
+
+    Returns (dets, None): TTA produces per-scale feature pyramids of
+    different shapes, so no val loss is computed under --augment — same
+    as the reference, whose augmented forward returns train_out=None
+    (yolo_test.py:214-230)."""
+    from .tta import tta_forward
+
+    @jax.jit
+    def fwd(params, batch_stats, rgb, ir):
+        x = rgb.astype(jnp.float32) / 255.0
+        x2 = ir.astype(jnp.float32) / 255.0 if two_stream else None
+        return tta_forward(model, params, batch_stats, x, x2), None
+
+    return fwd

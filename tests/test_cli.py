@@ -139,6 +139,70 @@ def test_resume_roundtrip(workspace):
     assert meta["epoch"] == 3  # resumed at 2, trained to 3
 
 
+def test_augment_tta_cli(workspace, tmp_path):
+    """--augment (TTA) is reachable from both CLIs and changes the
+    detection set (reference surface test.py:309 / detect_twostream.py:213;
+    upstream's two-stream TTA branch is broken, yolo_test.py:222)."""
+    root, data_yaml = workspace
+    run_dir = root / "runs" / "exp"  # from test_train_test_detect_cli
+    from multispectral_object_detection_tpu.cli.test_cli import main as test_main
+
+    common = ["--cfg", "yolov5n_fusion_add", "--data", data_yaml,
+              "--weights", str(run_dir / "last"), "--batch-size", "4",
+              "--img-size", "128", "--fp32", "--save-txt", "--save-conf",
+              "--project", str(tmp_path / "tta")]
+    ev_plain = test_main(common + ["--name", "plain"])
+    ev_aug = test_main(common + ["--name", "aug", "--augment"])
+    assert np.isfinite(ev_aug["map50"]) and ev_aug["seen"] == 8
+
+    def slurp(name):
+        d = tmp_path / "tta" / name / "labels"
+        return "".join(sorted(t.stem + t.read_text()
+                              for t in d.glob("*.txt")))
+
+    # TTA triples the candidate pool (3 scales) — the NMS output set must
+    # change vs the plain forward
+    assert slurp("plain") != slurp("aug")
+
+    # incompatible-flag guards
+    with pytest.raises(SystemExit):
+        test_main(common + ["--name", "x", "--augment", "--compute-loss"])
+
+    from multispectral_object_detection_tpu.cli.detect_cli import main as det_main
+
+    rgb_dir = yaml.safe_load(Path(data_yaml).read_text())["val_rgb"]
+    ir_dir = yaml.safe_load(Path(data_yaml).read_text())["val_ir"]
+    out = det_main([
+        "--cfg", "yolov5n_fusion_add", "--weights", str(run_dir / "last"),
+        "--source1", rgb_dir, "--source2", ir_dir, "--img-size", "128",
+        "--conf-thres", "0.01", "--nc", "2", "--fp32", "--augment",
+        "--nosave", "--project", str(tmp_path / "tta_det"), "--name", "e"])
+    assert out["n_images"] == 8
+
+
+def test_bare_resume_autofind(workspace, tmp_path):
+    """Bare --resume locates the newest run's last checkpoint
+    (train.py:969-977 via get_latest_run)."""
+    root, data_yaml = workspace
+    from multispectral_object_detection_tpu.cli.train_cli import main as train_main
+
+    train_main([
+        "--cfg", "yolov5n_fusion_add", "--data", data_yaml,
+        "--epochs", "2", "--batch-size", "4", "--img-size", "128",
+        "--project", str(tmp_path / "runs3"), "--name", "exp", "--fp32",
+        "--max-labels", "30", "--noval", "--noautoanchor",
+    ])
+    train_main([
+        "--cfg", "yolov5n_fusion_add", "--data", data_yaml,
+        "--epochs", "4", "--batch-size", "4", "--img-size", "128",
+        "--project", str(tmp_path / "runs3"), "--name", "exp2", "--fp32",
+        "--max-labels", "30", "--noval", "--noautoanchor", "--resume",
+    ])
+    meta = json.loads(
+        (tmp_path / "runs3" / "exp2" / "last" / "meta.json").read_text())
+    assert meta["epoch"] == 3  # resumed at 2, trained to 3
+
+
 def test_evolve_loop(workspace, tmp_path):
     """Two generations of hyperparameter evolution (train.py:1016 parity):
     gen 0 trains base hyps, gen 1 mutates from the evolve.txt parent pool."""
