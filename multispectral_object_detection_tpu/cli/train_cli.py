@@ -401,6 +401,15 @@ def run(args) -> dict:
                 state, m = step(state, rgb, ir, targets_d, tmask_d, sk)
                 agg_dev = _acc_metrics(agg_dev, m)
                 nb += 1
+                if plotted < 3 and not args.nosave:
+                    # train_batch*.jpg on the device-aug path too (the
+                    # reference plots its first 3 batches unconditionally,
+                    # train.py:719-732); one-off host fetch of the mosaic
+                    plot_batch(np.asarray(rgb_d), np.asarray(targets_d),
+                               np.asarray(tmask_d),
+                               str(save_dir / f"train_batch{plotted}.jpg"),
+                               data.get("names"))
+                    plotted += 1
                 continue
             if plotted < 3 and not args.nosave:
                 plot_batch(batch["rgb"], batch["targets"], batch["tmask"],
