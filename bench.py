@@ -74,6 +74,10 @@ def main():
     ap.add_argument("--fp32-params", action="store_true",
                     help="keep stored params fp32 (A/B the weight-traffic "
                          "saving of the default bf16 cast)")
+    ap.add_argument("--int8", action="store_true",
+                    help="weights-only int8: conv/dense kernels stored "
+                         "int8 + per-channel scale, dequantized to bf16 "
+                         "inside the jit (models/quantize.py)")
     ap.add_argument("--pallas-c3", action="store_true",
                     help="route square-channel C3 bottlenecks through the "
                          "fused Pallas kernel (ops/pallas_c3.py)")
@@ -120,10 +124,19 @@ def main():
         from multispectral_object_detection_tpu.models.model import (
             cast_inference_params)
         params = cast_inference_params(params, jnp.bfloat16)
+    if args.int8:
+        from multispectral_object_detection_tpu.models.quantize import (
+            quantize_int8, quantized_bytes)
+        params = jax.jit(quantize_int8)(params)
+        log(f"int8 params: {quantized_bytes(params) / 1e6:.0f} MB")
     use_nms = not args.no_nms
 
     @jax.jit
     def infer(params, rgb_u8, ir_u8):
+        if args.int8:
+            from multispectral_object_detection_tpu.models.quantize import (
+                dequantize_int8)
+            params = dequantize_int8(params, jnp.bfloat16)
         x = rgb_u8.astype(jnp.float32) / 255.0
         x2 = ir_u8.astype(jnp.float32) / 255.0
         feats = fused_model.apply({"params": params, "batch_stats": {}},

@@ -65,6 +65,12 @@ def parse_args(argv=None):
     ap.add_argument("--no-fuse", action="store_true",
                     help="keep live BatchNorm instead of conv-folded "
                          "inference (reference fuses by default)")
+    ap.add_argument("--int8", action="store_true",
+                    help="weights-only int8 inference: conv/dense kernels "
+                         "stored int8 + per-channel scale, dequantized "
+                         "on device (models/quantize.py; the TPU "
+                         "counterpart of the reference's fp16 inference, "
+                         "test.py:66-68)")
     ap.add_argument("--data-parallel", type=int, default=0,
                     help="shard eval batches over N devices of a "
                          "jax.sharding.Mesh (0 = single device). The "
@@ -104,6 +110,10 @@ def _build(args, img_size):
 
     params = jax.device_put(params)
     stats = jax.device_put(stats)
+    if args.int8:
+        from ..models.quantize import quantize_int8
+
+        params = jax.jit(quantize_int8)(params)
     return model, params, stats, data, nc, two_stream
 
 
@@ -160,6 +170,18 @@ def run(args) -> dict:
         logger.info(f"data-parallel eval over {n} devices")
     else:
         fwd = make_eval_forward(model, two_stream=two_stream)
+    if args.int8:
+        if args.data_parallel > 1:
+            raise SystemExit("--int8 is single-device; drop --data-parallel")
+        import jax
+        import jax.numpy as jnp
+
+        from ..models.quantize import dequantize_int8
+
+        inner = fwd
+        dq = jnp.float32 if args.fp32 else jnp.bfloat16
+        fwd = jax.jit(lambda p, s, a, b: inner(dequantize_int8(p, dq),
+                                               s, a, b))
 
     if args.task == "speed":
         return speed_task(fwd, params, stats, loader, args)
