@@ -45,11 +45,13 @@ def parse_args(argv=None):
     ap.add_argument("--adam", action="store_true")
     ap.add_argument("--linear-lr", action="store_true")
     ap.add_argument("--remat", type=str, default="none",
-                    choices=["none", "dots", "full"],
+                    choices=["none", "dots", "full", "blocks"],
                     help="activation rematerialization: trade recompute "
                          "for HBM (larger batch/resolution); 'dots' saves "
                          "matmul outputs, 'full' recomputes the whole "
-                         "forward in the backward pass")
+                         "forward in the backward pass, 'blocks' "
+                         "checkpoints each graph node (keeps boundary "
+                         "activations, recomputes intra-block temporaries)")
     ap.add_argument("--label-smoothing", type=float, default=0.0)
     ap.add_argument("--single-cls", action="store_true")
     ap.add_argument("--noval", action="store_true")
@@ -188,7 +190,8 @@ def run(args) -> dict:
             anchors_override = [[float(v) for v in a.reshape(-1)]
                                 for a in anc1]
             logger.info("autoanchor: anchors updated")
-    model = build_model(cfg, nc=nc, dtype=dtype, anchors=anchors_override)
+    model = build_model(cfg, nc=nc, dtype=dtype, anchors=anchors_override,
+                        remat_blocks=args.remat == "blocks")
     spec = model.spec
     assert spec.two_stream == two_stream, (
         f"model two_stream={spec.two_stream} but dataset "
@@ -308,7 +311,11 @@ def run(args) -> dict:
     step = make_parallel_train_step(model, loss_fn, tx,
                                     two_stream=two_stream, mesh=mesh,
                                     tensor_parallel=args.n_model > 1,
-                                    remat=args.remat)
+                                    # 'blocks' lives inside the model
+                                    # (DetectionModel.remat_blocks), not as
+                                    # a loss-closure wrap
+                                    remat="none" if args.remat == "blocks"
+                                    else args.remat)
     data_shard = batch_sharding(mesh)
     # in-train eval over the SAME mesh: per-epoch eval scales with the data
     # axis instead of serializing on one chip (the reference evaluates on

@@ -119,6 +119,13 @@ class DetectionModel(nn.Module):
     fused: bool = False       # BN folded into conv weights (inference only)
     use_pallas: bool = False  # fused Pallas CFT stack (inference only)
     use_pallas_c3: bool = False  # fused Pallas C3 bottlenecks (inference only)
+    # per-block activation rematerialization (--remat blocks): each graph
+    # node is wrapped in jax.checkpoint, so the backward pass keeps only
+    # block-boundary activations and recomputes intra-block temporaries
+    # (conv+BN+SiLU chains). Finer than wrapping the whole loss closure
+    # (trainer.remat_wrap 'full'/'dots'), which round-2 measured as
+    # counterproductive.
+    remat_blocks: bool = False
 
     def setup(self):
         mods = []
@@ -152,15 +159,24 @@ class DetectionModel(nn.Module):
                 inp = [cur if j == -1 else saved[j] for j in node.frm]
             else:
                 inp = saved[node.frm[0]]
-            if isinstance(mod, (list, tuple)):
-                for m in mod:
-                    inp = m(inp, train=train)
-                cur = inp
+            if self.remat_blocks:
+                def block(mdl, y, _i=node.index, _train=train):
+                    return mdl._apply_block(_i, y, _train)
+
+                cur = nn.remat(block)(self, inp)
             else:
-                cur = mod(inp, train=train)
+                cur = self._apply_block(node.index, inp, train)
             if node.index in self.spec.save:
                 saved[node.index] = cur
         return cur
+
+    def _apply_block(self, i: int, inp, train: bool):
+        mod = self.blocks[i]
+        if isinstance(mod, (list, tuple)):
+            for m in mod:
+                inp = m(inp, train=train)
+            return inp
+        return mod(inp, train=train)
 
     def decode(self, feats):
         anc = np.asarray(self.spec.anchors, dtype=np.float32).reshape(
@@ -170,13 +186,14 @@ class DetectionModel(nn.Module):
 
 def build_model(cfg, ch_in: int = 3, nc: Optional[int] = None, anchors=None,
                 dtype=jnp.float32, fused: bool = False,
-                use_pallas: bool = False,
-                use_pallas_c3: bool = False) -> DetectionModel:
+                use_pallas: bool = False, use_pallas_c3: bool = False,
+                remat_blocks: bool = False) -> DetectionModel:
     """YAML path/dict -> DetectionModel (the `Model(cfg)` of yolo_test.py:165)."""
     spec = cfg if isinstance(cfg, ModelSpec) else parse_model_config(
         cfg, ch_in=ch_in, nc=nc, anchors=anchors)
     return DetectionModel(spec=spec, dtype=dtype, fused=fused,
-                          use_pallas=use_pallas, use_pallas_c3=use_pallas_c3)
+                          use_pallas=use_pallas, use_pallas_c3=use_pallas_c3,
+                          remat_blocks=remat_blocks)
 
 
 def cast_inference_params(tree, dtype):
