@@ -25,6 +25,10 @@ def make_paired_dataset(root: str, n_images: int = 16, img_size: int = 256,
         root/rgb/images/*.jpg  root/rgb/labels/*.txt
         root/ir/images/*.jpg   (labels come from the RGB side)
     """
+    # distinct fill color per class so nc>2 classes stay separable; the
+    # first two entries preserve the historic nc=2 data byte-for-byte
+    palette = [(220, 60, 60), (60, 60, 220), (60, 200, 60), (230, 200, 40),
+               (200, 60, 200), (40, 220, 220), (240, 140, 40), (140, 90, 40)]
     rng = np.random.default_rng(seed)
     rgb_img = Path(root) / "rgb" / "images"
     rgb_lab = Path(root) / "rgb" / "labels"
@@ -44,7 +48,7 @@ def make_paired_dataset(root: str, n_images: int = 16, img_size: int = 256,
             bh = int(rng.integers(img_size // 8, img_size // 3))
             x1 = int(rng.integers(0, w - bw))
             y1 = int(rng.integers(0, h - bh))
-            color_rgb = (220, 60, 60) if cls == 0 else (60, 60, 220)
+            color_rgb = palette[cls % len(palette)]
             cv2.rectangle(rgb, (x1, y1), (x1 + bw, y1 + bh), color_rgb, -1)
             cv2.rectangle(ir, (x1, y1), (x1 + bw, y1 + bh), (30, 30, 30), -1)
             cx, cy = (x1 + bw / 2) / w, (y1 + bh / 2) / h

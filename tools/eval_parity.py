@@ -33,15 +33,16 @@ sys.path.insert(0, str(REPO))
 from tools.parity_harness import _stub_torchvision, eval_imported  # noqa: E402
 
 
-def make_val(out: Path, n_val: int, img: int, seed: int):
+def make_val(out: Path, n_val: int, img: int, seed: int, nc: int = 2):
     from multispectral_object_detection_tpu.data.synthetic import (
         make_paired_dataset)
 
     va_rgb, va_ir = make_paired_dataset(str(out / "val"), n_images=n_val,
-                                        img_size=img, nc=2, seed=seed)
+                                        img_size=img, nc=nc, seed=seed)
+    names = ["red", "blue"] if nc == 2 else [f"c{i}" for i in range(nc)]
     data = {"train_rgb": va_rgb, "train_ir": va_ir,   # unused; keys required
             "val_rgb": va_rgb, "val_ir": va_ir,
-            "nc": 2, "names": ["red", "blue"]}
+            "nc": nc, "names": names}
     dy = out / "data.yaml"
     dy.write_text(yaml.safe_dump(data))
     return dy, data

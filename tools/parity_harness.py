@@ -65,30 +65,32 @@ def _stub_torchvision():
     sys.modules.setdefault("torchvision.ops", tvo)
 
 
-def make_data(out: Path, n_train: int, n_val: int, img: int):
+def make_data(out: Path, n_train: int, n_val: int, img: int, nc: int = 2):
     sys.path.insert(0, str(REPO))
     from multispectral_object_detection_tpu.data.synthetic import (
         make_paired_dataset)
 
     tr_rgb, tr_ir = make_paired_dataset(str(out / "train"), n_images=n_train,
-                                        img_size=img, nc=2, seed=11)
+                                        img_size=img, nc=nc, seed=11)
     va_rgb, va_ir = make_paired_dataset(str(out / "val"), n_images=n_val,
-                                        img_size=img, nc=2, seed=23)
+                                        img_size=img, nc=nc, seed=23)
+    names = (["red", "blue"] if nc == 2
+             else [f"c{i}" for i in range(nc)])
     data = {"train_rgb": tr_rgb, "train_ir": tr_ir,
             "val_rgb": va_rgb, "val_ir": va_ir,
-            "nc": 2, "names": ["red", "blue"]}
+            "nc": nc, "names": names}
     dy = out / "data.yaml"
     dy.write_text(yaml.safe_dump(data))
     return dy
 
 
-def dump_cfg(out: Path, cfg_name: str) -> Path:
+def dump_cfg(out: Path, cfg_name: str, nc: int = 2) -> Path:
     """Our DSL dict doubles as a reference-format YAML (same schema —
     module names incl. GPT/Add2 are the reference's, models/transformer/
     yolov5l_fusion_transformerx3_llvip.yaml)."""
     from multispectral_object_detection_tpu.models.configs import get_config
 
-    cfg = get_config(cfg_name, nc=2)
+    cfg = get_config(cfg_name, nc=nc)
     p = out / "model.yaml"
     p.write_text(yaml.safe_dump(cfg))
     return p
@@ -115,7 +117,7 @@ def torch_param_groups(model):
             "frozen": total - pg0 - pg1 - pg2, "total": total}
 
 
-def our_param_groups(cfg_name: str, img: int):
+def our_param_groups(cfg_name: str, img: int, nc: int = 2):
     """Our param_role buckets mapped onto the reference's groups: norm->pg0,
     kernel + ln-scale-half->pg1, bias + ln-bias-half->pg2, frozen->frozen."""
     import jax
@@ -125,7 +127,7 @@ def our_param_groups(cfg_name: str, img: int):
     from multispectral_object_detection_tpu.models.configs import get_config
     from multispectral_object_detection_tpu.train.optim import param_role
 
-    model = build_model(get_config(cfg_name, nc=2), dtype=jnp.float32)
+    model = build_model(get_config(cfg_name, nc=nc), dtype=jnp.float32)
     x = jnp.zeros((1, img, img, 3), jnp.float32)
     args = (x,) if not model.spec.two_stream else (x, x)
     shapes = jax.eval_shape(lambda *a: model.init(jax.random.PRNGKey(0), *a,
@@ -284,7 +286,8 @@ def eval_imported(out: Path, data_yaml: Path, npz: Path, cfg_name: str,
         convert_state_dict, load_npz_state_dict)
 
     data = yaml.safe_load(Path(data_yaml).read_text())
-    model = build_model(get_config(cfg_name, nc=2), dtype=jnp.float32)
+    nc = int(data.get("nc", 2))
+    model = build_model(get_config(cfg_name, nc=nc), dtype=jnp.float32)
     x = jnp.zeros((1, img, img, 3), jnp.float32)
     variables = jax.jit(
         lambda r, a, b: model.init(r, a, b, train=False))(
@@ -298,11 +301,11 @@ def eval_imported(out: Path, data_yaml: Path, npz: Path, cfg_name: str,
 
     ds = PairedDetectionDataset.from_sources(
         data["val_rgb"], data["val_ir"], img_size=img, augment=False,
-        rect=True, pad=0.5, nc=2)
+        rect=True, pad=0.5, nc=nc)
     loader = BatchLoader(ds, batch, shuffle=False, max_labels=60,
                          drop_last=False)
     fwd = make_eval_forward(model, two_stream=True)
-    res = evaluate(fwd, params, stats, loader, nc=2)
+    res = evaluate(fwd, params, stats, loader, nc=nc)
     return res, (n_c, n_t)
 
 
@@ -315,6 +318,10 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--img", type=int, default=160)
     ap.add_argument("--n-train", type=int, default=32)
+    ap.add_argument("--nc", type=int, default=2,
+                    help="class count (the round-3 gain-rescaling bug was "
+                         "nc/img-scale dependent; nc>=3 is the second "
+                         "parity notch, VERDICT r3 item 8)")
     ap.add_argument("--n-val", type=int, default=16)
     ap.add_argument("--out", type=str, default="/tmp/parity")
     ap.add_argument("--skip-ours", action="store_true")
@@ -328,12 +335,12 @@ def main():
 
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
-    data_yaml = make_data(out, args.n_train, args.n_val, args.img)
-    cfg_yaml = dump_cfg(out, args.cfg)
+    data_yaml = make_data(out, args.n_train, args.n_val, args.img, args.nc)
+    cfg_yaml = dump_cfg(out, args.cfg, args.nc)
 
     # recipe-structure parity BEFORE the long runs: our optimizer roles
     # must bucket every parameter exactly like train.py:548-560
-    ours_groups = our_param_groups(args.cfg, args.img)
+    ours_groups = our_param_groups(args.cfg, args.img, args.nc)
 
     ref_results, npz, ref_groups, ref_frozen = run_reference(
         out, data_yaml, cfg_yaml, args.epochs, args.batch, args.img,
@@ -360,7 +367,7 @@ def main():
         "# Cross-framework parity (synthetic paired dataset)",
         "",
         f"dataset: {args.n_train} train / {args.n_val} val @{args.img}px, "
-        f"nc=2; cfg {args.cfg}; {args.epochs} epochs, batch "
+        f"nc={args.nc}; cfg {args.cfg}; {args.epochs} epochs, batch "
         f"{args.batch}, hyp.scratch",
         "",
         "| side | mAP50 | mAP | note |",

@@ -75,6 +75,7 @@ def main():
     ap.add_argument("--img", type=int, default=160)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--seed", type=int, default=37)
+    ap.add_argument("--nc", type=int, default=2)
     ap.add_argument("--ckpt", type=str, default="last",
                     help="which of our checkpoints to score (last|best)")
     args = ap.parse_args()
@@ -82,7 +83,7 @@ def main():
     run = Path(args.run)
     out = run / f"recipe_eval_{args.n_val}"
     out.mkdir(parents=True, exist_ok=True)
-    data_yaml, _ = make_val(out, args.n_val, args.img, args.seed)
+    data_yaml, _ = make_val(out, args.n_val, args.img, args.seed, args.nc)
 
     ref, (n_c, n_t) = eval_imported(out, data_yaml,
                                     run / "ref_weights.npz", args.cfg,
