@@ -52,6 +52,10 @@ def main():
     ap.add_argument("--eval-every", type=int, default=5)
     ap.add_argument("--out", type=str, default="/tmp/ab_devaug")
     ap.add_argument("--skip-host", action="store_true")
+    ap.add_argument("--skip-device", action="store_true",
+                    help="run only the host leg; the summary still folds "
+                         "in a previously completed device leg found under "
+                         "--out (rerun-the-hung-leg workflow)")
     args = ap.parse_args()
 
     from multispectral_object_detection_tpu.cli.train_cli import main as train
@@ -73,9 +77,13 @@ def main():
         "nc": 2, "names": ["red", "blue"]}))
 
     cfg = f"yolov5{args.scale}_fusion_transformerx3"
-    legs = [("device", ["--device-aug"])] + \
+    legs = ([] if args.skip_device else [("device", ["--device-aug"])]) + \
         ([] if args.skip_host else [("host", [])])
     results = {}
+    for name in ("device", "host"):
+        prior = out / "runs" / name / "results.txt"
+        if name not in dict(legs) and prior.exists():
+            results[name] = parse_results(prior)
     for name, extra in legs:
         print(f"=== leg: {name}-aug ===", flush=True)
         train([

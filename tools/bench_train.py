@@ -29,7 +29,7 @@ def main():
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--max-labels", type=int, default=64)
     ap.add_argument("--remat", default="none",
-                    choices=["none", "dots", "full"])
+                    choices=["none", "dots", "full", "blocks"])
     ap.add_argument("--profile", action="store_true",
                     help="per-op device profile of the train step "
                          "(top-30 HLO ops by time)")
@@ -54,7 +54,8 @@ def main():
     from multispectral_object_detection_tpu.train.trainer import (
         create_train_state, make_train_step)
 
-    model = build_model(get_config(args.cfg, nc=3), dtype=jnp.bfloat16)
+    model = build_model(get_config(args.cfg, nc=3), dtype=jnp.bfloat16,
+                        remat_blocks=args.remat == "blocks")
     spec = model.spec
     loss_fn = DetectionLoss(nc=3, anchors_px=anchor_arrays(spec.anchors),
                             strides=spec.strides, hyp=LossHyp())
@@ -70,7 +71,8 @@ def main():
     print(f"{args.cfg}: {n_par:,} params, batch {args.batch} @{args.img}")
 
     step = make_train_step(model, loss_fn, tx, two_stream=True,
-                           remat=args.remat)
+                           remat="none" if args.remat == "blocks"
+                           else args.remat)
     T = args.max_labels * args.batch
     targets = np.zeros((T, 6), np.float32)
     targets[:8, 1] = np.arange(8) % 3

@@ -295,11 +295,12 @@ def main():
     worst, med, n_bad = compare(rg, og)
     print(f"\nworst rel_err {worst:.4g}   median rel_err {med:.4g}   "
           f"unmapped {n_bad}")
-    ok = worst < 5e-3 and n_bad == 0
+    ok = bool(worst < 5e-3 and n_bad == 0)  # builtin bool: np.bool_ isn't JSON
     print("GRAD PARITY:", "PASS" if ok else "FAIL")
     if args.json:
         Path(args.json).write_text(json.dumps(
-            {"cfg": args.cfg, "worst_rel_err": worst, "median_rel_err": med,
+            {"cfg": args.cfg, "worst_rel_err": float(worst),
+             "median_rel_err": float(med),
              "unmapped": n_bad, "ok": ok, "ref_items": items,
              "our_items": [comps["box"], comps["obj"], comps["cls"], total]}))
     return 0 if ok else 1

@@ -1,0 +1,67 @@
+"""MFU / MXU-utilization calculator for the inference headline.
+
+Turns "HBM-bound plateau, 40-55% MXU" (PERF.md) into a measured number:
+    MFU = FLOPs_per_pair * pairs_per_second / peak_FLOPs
+FLOPs come from XLA cost analysis of the jitted fused inference forward
+(utils/profiling.estimate_flops — the thop equivalent, reference
+torch_utils.py:231); pairs/s from bench.py on the real chip. Peak is
+TPU v5e bf16: 197 TFLOP/s per chip (public spec).
+
+Usage:
+  python tools/mfu.py [--cfg yolov5l_fusion_transformerx3] [--img 640]
+                      [--pairs-per-s 490]   # from bench.py
+FLOP counting runs fine on CPU (JAX_PLATFORMS=cpu) — conv/matmul FLOPs
+are backend-independent.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+V5E_PEAK_BF16 = 197e12  # FLOP/s per chip
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cfg", default="yolov5l_fusion_transformerx3")
+    ap.add_argument("--img", type=int, default=640)
+    ap.add_argument("--pairs-per-s", type=float, default=0.0,
+                    help="measured throughput from bench.py; 0 = only "
+                         "print FLOPs/pair")
+    ap.add_argument("--peak", type=float, default=V5E_PEAK_BF16)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from multispectral_object_detection_tpu.models import build_model
+    from multispectral_object_detection_tpu.models.configs import get_config
+    from multispectral_object_detection_tpu.utils.profiling import \
+        estimate_flops
+
+    model = build_model(get_config(args.cfg, nc=3), dtype=jnp.bfloat16)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, args.img, args.img, 3), jnp.float32),
+        jnp.zeros((1, args.img, args.img, 3), jnp.float32))["params"]
+    flops = estimate_flops(model, params, args.img)
+    if flops is None:
+        print(json.dumps({"error": "cost analysis unavailable"}))
+        return 1
+    out = {"cfg": args.cfg, "img": args.img,
+           "gflops_per_pair": round(flops / 1e9, 2)}
+    if args.pairs_per_s:
+        out["pairs_per_s"] = args.pairs_per_s
+        out["achieved_tflops"] = round(flops * args.pairs_per_s / 1e12, 2)
+        out["mfu_pct"] = round(100 * flops * args.pairs_per_s / args.peak, 2)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
