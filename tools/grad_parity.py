@@ -94,7 +94,8 @@ def make_batch(img: int, batch: int, seed: int = 5):
 
 
 def ref_grads(cfg_yaml: Path, batch, hyp_scaled: dict, nc: int,
-              weights_npz: str = ""):
+              weights_npz: str = "", f64: bool = False,
+              perturb: float = 0.0):
     """Reference forward+backward; returns (state_dict, grads, loss_items)."""
     torch = _ref_compat()
     import torch.nn as tnn
@@ -109,6 +110,13 @@ def ref_grads(cfg_yaml: Path, batch, hyp_scaled: dict, nc: int,
         missing, unexpected = model.load_state_dict(tsd, strict=False)
         print(f"loaded {len(tsd) - len(unexpected)} tensors from "
               f"{weights_npz} ({len(missing)} missing)")
+    if perturb:
+        g = torch.Generator().manual_seed(7)
+        with torch.no_grad():
+            for p in model.parameters():
+                p.mul_(1 + perturb * torch.randn(p.shape, generator=g))
+    if f64:
+        model = model.double()
     model.train()
     for m in model.modules():
         if isinstance(m, tnn.Dropout):
@@ -117,13 +125,14 @@ def ref_grads(cfg_yaml: Path, batch, hyp_scaled: dict, nc: int,
     model.hyp = hyp_scaled
     model.gr = 1.0
 
-    rgb = torch.from_numpy(
-        np.ascontiguousarray(batch["rgb"].transpose(0, 3, 1, 2))).float() / 255
+    fdt = torch.float64 if f64 else torch.float32
+    rgb = torch.from_numpy(np.ascontiguousarray(
+        batch["rgb"].transpose(0, 3, 1, 2))).to(fdt) / 255
     ir_np = batch.get("ir", batch["rgb"])
-    ir = torch.from_numpy(
-        np.ascontiguousarray(ir_np.transpose(0, 3, 1, 2))).float() / 255
+    ir = torch.from_numpy(np.ascontiguousarray(
+        ir_np.transpose(0, 3, 1, 2))).to(fdt) / 255
     tm = np.asarray(batch["tmask"]) > 0
-    targets = torch.from_numpy(np.asarray(batch["targets"])[tm]).float()
+    targets = torch.from_numpy(np.asarray(batch["targets"])[tm]).to(fdt)
 
     pred = model(rgb, ir)
     loss, items = ComputeLoss(model)(pred, targets)
@@ -137,9 +146,12 @@ def ref_grads(cfg_yaml: Path, batch, hyp_scaled: dict, nc: int,
 
 
 def our_grads(cfg_name: str, sd: dict, batch, img: int, nc: int,
-              hyp_scaled: dict):
+              hyp_scaled: dict, f64: bool = False):
     """jax.grad of our DetectionLoss on the imported reference weights."""
     import jax
+
+    if f64:
+        jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
     import multispectral_object_detection_tpu.models.model as mdl
@@ -158,7 +170,8 @@ def our_grads(cfg_name: str, sd: dict, batch, img: int, nc: int,
     mdl.CrossModalFusion = functools.partial(
         orig_fusion, embd_drop=0.0, attn_drop=0.0, resid_drop=0.0)
     try:
-        model = build_model(get_config(cfg_name, nc=nc), dtype=jnp.float32)
+        model = build_model(get_config(cfg_name, nc=nc),
+                            dtype=jnp.float64 if f64 else jnp.float32)
     finally:
         mdl.CrossModalFusion = orig_fusion
 
@@ -179,9 +192,10 @@ def our_grads(cfg_name: str, sd: dict, batch, img: int, nc: int,
     loss_fn = DetectionLoss(nc=nc, anchors_px=anchor_arrays(spec.anchors),
                             strides=spec.strides, hyp=lhyp)
 
-    rgb = jnp.asarray(batch["rgb"]).astype(jnp.float32) / 255.0
-    ir = jnp.asarray(batch.get("ir", batch["rgb"])).astype(jnp.float32) / 255.0
-    targets = jnp.asarray(batch["targets"])
+    fdt = jnp.float64 if f64 else jnp.float32
+    rgb = jnp.asarray(batch["rgb"]).astype(fdt) / 255.0
+    ir = jnp.asarray(batch.get("ir", batch["rgb"])).astype(fdt) / 255.0
+    targets = jnp.asarray(batch["targets"]).astype(fdt)
     tmask = jnp.asarray(batch["tmask"])
 
     def loss_of(p):
@@ -260,6 +274,30 @@ def main():
                          "torch-init, train-mode BN normalizes by "
                          "near-zero batch variances and amplifies fp noise, "
                          "clouding the comparison")
+    ap.add_argument("--f64", action="store_true",
+                    help="run BOTH frameworks in float64. Distinguishes "
+                         "fp-noise amplification (train-mode BN chains, "
+                         "~200 layers) from structural divergence: fp "
+                         "noise collapses by ~1e9, a real assigner/"
+                         "forward difference persists. Caveat: our Conv "
+                         "blocks pin BN compute to fp32 (layers.py), so "
+                         "our side keeps fp32 noise — prefer --self-noise "
+                         "for the chaos control")
+    ap.add_argument("--self-noise", action="store_true",
+                    help="control experiment INSIDE one framework: compare "
+                         "the reference's fp32 gradients against the "
+                         "reference's OWN fp64 gradients (identical "
+                         "weights/batch; the only change is arithmetic "
+                         "precision). The resulting rel_err is the "
+                         "gradient's intrinsic sensitivity to fp noise — "
+                         "the floor below which no cross-framework fp32 "
+                         "comparison can land")
+    ap.add_argument("--self-perturb", type=float, default=0.0,
+                    help="like --self-noise but perturbing the reference's "
+                         "own fp32 weights by this relative noise (e.g. "
+                         "1e-7 ~ the representation/op-order difference "
+                         "scale between two fp32 frameworks) instead of "
+                         "switching precision")
     ap.add_argument("--json", type=str, default="")
     args = ap.parse_args()
 
@@ -280,14 +318,47 @@ def main():
     cfg_yaml = d / "model.yaml"
     cfg_yaml.write_text(yaml.safe_dump(cfg))
 
+    if args.self_noise or args.self_perturb:
+        from multispectral_object_detection_tpu.utils.torch_import import \
+            convert_state_dict
+
+        _, rg32, items32 = ref_grads(cfg_yaml, batch, scaled, args.nc,
+                                     args.weights_npz, f64=False)
+        print(f"REF base loss items (box obj cls total): "
+              f"{' '.join(f'{x:.6f}' for x in items32)}")
+        _, rg64, items64 = ref_grads(cfg_yaml, batch, scaled, args.nc,
+                                     args.weights_npz,
+                                     f64=not args.self_perturb,
+                                     perturb=args.self_perturb)
+        what = (f"fp32+{args.self_perturb:g}-perturbed"
+                if args.self_perturb else "fp64")
+        print(f"REF {what} loss items (box obj cls total): "
+              f"{' '.join(f'{x:.6f}' for x in items64)}")
+        g64, _ = convert_state_dict(rg64)
+        worst, med, n_bad = compare(rg32, g64)
+        loss_rel = max(abs(a - b) / (abs(a) + 1e-12)
+                       for a, b in zip(items32, items64))
+        print(f"\nREF-vs-REF (fp32 vs {what}): worst rel_err {worst:.4g}   "
+              f"median rel_err {med:.4g}   max loss-item rel {loss_rel:.3g}")
+        print("This is the intrinsic fp-noise sensitivity of the gradient "
+              "on this batch — a cross-framework fp32 comparison cannot "
+              "resolve recipe differences below it.")
+        if args.json:
+            Path(args.json).write_text(json.dumps(
+                {"cfg": args.cfg, "mode": f"self_noise:{what}",
+                 "worst_rel_err": float(worst), "median_rel_err": float(med),
+                 "loss_rel_max": float(loss_rel),
+                 "ref_items_base": items32, "ref_items_b": items64}))
+        return 0
+
     sd, rg, items = ref_grads(cfg_yaml, batch, scaled, args.nc,
-                              args.weights_npz)
+                              args.weights_npz, f64=args.f64)
     print(f"REF  loss items (box obj cls total): "
           f"{' '.join(f'{x:.6f}' for x in items)}")
 
     ours_hyp = dict(hyp, label_smoothing=0.0) if args.raw_gains else scaled
     og, comps, total = our_grads(args.cfg, sd, batch, args.img, args.nc,
-                                 ours_hyp)
+                                 ours_hyp, f64=args.f64)
     print(f"OURS loss items (box obj cls total): "
           f"{comps['box']:.6f} {comps['obj']:.6f} {comps['cls']:.6f} "
           f"{total:.6f}")
