@@ -37,8 +37,9 @@ for bs in 8 16; do
   done
 done
 
-# 4. @640 device-aug A/B: finish the host leg (device leg already on disk)
-run ab640_host 3600 python tools/ab_device_aug.py --epochs 20 \
-    --skip-device --out /tmp/ab_devaug
+# 4. @640 device-aug A/B: both legs (the round-3 device leg lived in /tmp
+#    and did not survive the VM reset)
+run ab640 10800 python tools/ab_device_aug.py --epochs 20 \
+    --out /tmp/ab_devaug
 
 echo "QUEUE DONE $(date +%H:%M:%S)" | tee -a "$OUT/queue.log"
