@@ -18,10 +18,23 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# XLA cost analysis is unavailable on the experimental axon backend
+# (lowered.cost_analysis() -> None; measured round 4). FLOP counting is
+# backend-independent, so force CPU before any backend initializes. The
+# axon sitecustomize re-pins the platform from PALLAS_AXON_POOL_IPS, so
+# dropping the env var alone is not enough — re-exec like __graft_entry__.
+if os.environ.get("JAX_PLATFORMS") != "cpu" or \
+        "PALLAS_AXON_POOL_IPS" in os.environ:
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    os.execve(sys.executable, [sys.executable, *sys.argv], env)
 
 V5E_PEAK_BF16 = 197e12  # FLOP/s per chip
 
@@ -37,6 +50,8 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    jax.config.update("jax_platforms", "cpu")  # belt-and-braces
     import jax.numpy as jnp
 
     from multispectral_object_detection_tpu.models import build_model
