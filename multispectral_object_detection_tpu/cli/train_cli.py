@@ -51,7 +51,11 @@ def parse_args(argv=None):
                          "matmul outputs, 'full' recomputes the whole "
                          "forward in the backward pass, 'blocks' "
                          "checkpoints each graph node (keeps boundary "
-                         "activations, recomputes intra-block temporaries)")
+                         "activations, recomputes intra-block temporaries). "
+                         "Measured flagship @640 (PERF.md round 4): "
+                         "'blocks' is 13%% FASTER at batch<=8 (recompute "
+                         "beats activation HBM round-trips) and 2.4x "
+                         "leaner; at batch 16 'none' wins")
     ap.add_argument("--label-smoothing", type=float, default=0.0)
     ap.add_argument("--single-cls", action="store_true")
     ap.add_argument("--noval", action="store_true")
