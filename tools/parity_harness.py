@@ -325,6 +325,11 @@ def main():
     ap.add_argument("--n-val", type=int, default=16)
     ap.add_argument("--out", type=str, default="/tmp/parity")
     ap.add_argument("--skip-ours", action="store_true")
+    ap.add_argument("--skip-ref", action="store_true",
+                    help="reuse <out>/ref_weights.npz + summary.json from an "
+                         "earlier --skip-ours invocation (the torch-cpu "
+                         "reference leg takes hours; this lets the two legs "
+                         "run in separate sessions)")
     ap.add_argument("--notest", action="store_true",
                     help="reference: eval only at the final epoch. NOTE: "
                          "the reference's own notest path crashes "
@@ -342,12 +347,24 @@ def main():
     # must bucket every parameter exactly like train.py:548-560
     ours_groups = our_param_groups(args.cfg, args.img, args.nc)
 
-    ref_results, npz, ref_groups, ref_frozen = run_reference(
-        out, data_yaml, cfg_yaml, args.epochs, args.batch, args.img,
-        notest=args.notest)
-    mp, mr, map50, map75, mAP = [float(v) for v in ref_results[:5]]
-    print(f"reference final: P {mp:.3f} R {mr:.3f} mAP50 {map50:.4f} "
-          f"mAP {mAP:.4f}")
+    if args.skip_ref:
+        prev = json.loads((out / "summary.json").read_text())
+        map50, mAP = (float(prev["ref"]["map50"]), float(prev["ref"]["map"]))
+        npz = out / "ref_weights.npz"
+        ref_groups = {k: int(v) for k, v in
+                      prev["param_groups"]["ref"].items()}
+        sd_keys = np.load(npz).files
+        ref_frozen = {"pos_emb_keys": [k for k in sd_keys if "pos_emb" in k],
+                      "pos_emb_zero": bool(prev["ref_pos_emb_zero"])}
+        print(f"reference leg reused from {out}: mAP50 {map50:.4f} "
+              f"mAP {mAP:.4f}")
+    else:
+        ref_results, npz, ref_groups, ref_frozen = run_reference(
+            out, data_yaml, cfg_yaml, args.epochs, args.batch, args.img,
+            notest=args.notest)
+        mp, mr, map50, map75, mAP = [float(v) for v in ref_results[:5]]
+        print(f"reference final: P {mp:.3f} R {mr:.3f} mAP50 {map50:.4f} "
+              f"mAP {mAP:.4f}")
     print(f"param groups  ref: {ref_groups}")
     print(f"param groups ours: {ours_groups}")
     groups_match = ref_groups == ours_groups
