@@ -203,6 +203,38 @@ def test_bare_resume_autofind(workspace, tmp_path):
     assert meta["epoch"] == 3  # resumed at 2, trained to 3
 
 
+def test_detect_int8_cli(workspace, tmp_path):
+    """--int8 (weights-only int8, models/quantize.py) is reachable from the
+    detect CLI and detects on the same images as the fp path (the TPU
+    counterpart of the reference's fp16 inference, test.py:66-68)."""
+    root, data_yaml = workspace
+    run_dir = root / "runs" / "exp"  # from test_train_test_detect_cli
+    from multispectral_object_detection_tpu.cli.detect_cli import main as det_main
+
+    cfg_dirs = yaml.safe_load(Path(data_yaml).read_text())
+    # conf-thres near zero: a 3-epoch nano model's scores sit below 1e-2,
+    # and the point here is flag reachability + a populated NMS pool on
+    # both paths (int8 NUMERICS are pinned in tests/test_quantize.py)
+    common = ["--cfg", "yolov5n_fusion_add", "--weights", str(run_dir / "last"),
+              "--source1", cfg_dirs["val_rgb"], "--source2", cfg_dirs["val_ir"],
+              "--img-size", "128", "--conf-thres", "0.0001", "--nc", "2",
+              "--fp32", "--nosave", "--save-txt", "--save-conf",
+              "--project", str(tmp_path / "det_i8")]
+    out_fp = det_main(common + ["--name", "fp"])
+    out_q = det_main(common + ["--name", "q", "--int8"])
+    assert out_q["n_images"] == out_fp["n_images"] == 8
+
+    def n_boxes(name):
+        d = tmp_path / "det_i8" / name / "labels"
+        return sum(len(t.read_text().splitlines()) for t in d.glob("*.txt"))
+
+    # weights-only int8 perturbs scores by <2% — the detection pool must
+    # survive quantization (borderline boxes may flip either way at the
+    # threshold; allow 20% slack for that)
+    nf, nq = n_boxes("fp"), n_boxes("q")
+    assert nf > 0 and nq > 0 and abs(nq - nf) <= max(4, int(0.2 * nf)), (nf, nq)
+
+
 def test_evolve_loop(workspace, tmp_path):
     """Two generations of hyperparameter evolution (train.py:1016 parity):
     gen 0 trains base hyps, gen 1 mutates from the evolve.txt parent pool."""
