@@ -56,12 +56,15 @@ def main(argv=None):
     ap.add_argument("--img-size", type=int, default=640)
     ap.add_argument("--conf", type=float, default=0.25)
     ap.add_argument("--port", type=int, default=5000)
+    ap.add_argument("--int8", action="store_true",
+                    help="weights-only int8 storage (2.4x smaller resident "
+                         "weights; serve more models per chip)")
     args = ap.parse_args(argv)
 
     from ..hub import Detector
 
     det = Detector(args.model, nc=args.nc, weights=args.weights,
-                   img_size=args.img_size, conf=args.conf)
+                   img_size=args.img_size, conf=args.conf, int8=args.int8)
     app = build_app(det, args.model)
     app.run(host="0.0.0.0", port=args.port)
 

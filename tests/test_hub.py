@@ -36,6 +36,27 @@ def test_detector_two_stream():
     assert len(res) == 1
 
 
+def test_detector_int8():
+    """int8=True quantizes resident weights (models/quantize.py) and still
+    detects; the pipeline matches the fp Detector on the same inputs to
+    within quantization jitter (numerics pinned in tests/test_quantize.py)."""
+    from multispectral_object_detection_tpu.hub import Detector
+
+    rng = np.random.default_rng(2)
+    rgb = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    ir = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    det_q = Detector("yolov5n_fusion_add", nc=1, img_size=64, conf=1e-5,
+                     int8=True)
+    res_q = det_q([rgb], [ir])
+    assert len(res_q) == 1
+    # resident tree really is quantized (int8 'q' leaves present)
+    import jax
+
+    kinds = {getattr(x, "dtype", None) for x in
+             jax.tree_util.tree_leaves(det_q.params)}
+    assert any(str(k) == "int8" for k in kinds)
+
+
 def test_hubconf_constructors():
     import hubconf
 
