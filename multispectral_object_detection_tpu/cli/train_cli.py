@@ -95,6 +95,14 @@ def parse_args(argv=None):
     ap.add_argument("--upload-dataset", action="store_true",
                     help="log the dataset as a W&B artifact "
                          "(wandb_utils.py:166)")
+    ap.add_argument("--quad", action="store_true",
+                    help="quad dataloader (train.py:945): each 4 samples "
+                         "become one 2x-canvas training image (stitched "
+                         "2x2 or one tile upsampled 2x, p=0.5), loss x4 — "
+                         "small-object training at 2x receptive scale for "
+                         "the memory of a quarter batch. The upstream "
+                         "collate_fn4 crashes on a leftover debug print; "
+                         "this one works (data/datasets.py:collate_quad)")
     ap.add_argument("--multi-scale", action="store_true",
                     help="vary train image size +/-50%% per batch over a "
                          "stride-64 ladder (train.py:747; each size is one "
@@ -149,14 +157,29 @@ def run(args) -> dict:
     # device-utilization guard: use every device group; round the batch up
     # to a multiple rather than silently idling chips (the reference asserts
     # divisibility instead, utils/torch_utils.py:83-86)
-    n_data, new_bs, changed = resolve_data_axis(
-        args.batch_size, len(jax.devices()), args.n_model)
-    if changed:
-        logger.warning(
-            f"--batch-size {args.batch_size} is not divisible by the "
-            f"{n_data}-way data axis; rounding up to {new_bs} so no device "
-            f"idles")
-        args.batch_size = new_bs
+    if args.quad:
+        assert not args.device_aug and not args.rect, \
+            "--quad is exclusive with --device-aug/--rect"
+        if args.batch_size % 4:
+            args.batch_size = ((args.batch_size + 3) // 4) * 4
+            logger.warning(f"--quad: batch rounded up to {args.batch_size}")
+        # the train step sees the CANVAS batch (bs/4) — shard on that
+        n_data, new_cbs, changed = resolve_data_axis(
+            args.batch_size // 4, len(jax.devices()), args.n_model)
+        if changed:
+            args.batch_size = new_cbs * 4
+            logger.warning(
+                f"--quad: canvas batch not divisible by the {n_data}-way "
+                f"data axis; batch rounded up to {args.batch_size}")
+    else:
+        n_data, new_bs, changed = resolve_data_axis(
+            args.batch_size, len(jax.devices()), args.n_model)
+        if changed:
+            logger.warning(
+                f"--batch-size {args.batch_size} is not divisible by the "
+                f"{n_data}-way data axis; rounding up to {new_bs} so no "
+                f"device idles")
+            args.batch_size = new_bs
     avail_groups = len(jax.devices()) // max(args.n_model, 1)
     if n_data < avail_groups:
         logger.warning(f"batch {args.batch_size} limits data axis to "
@@ -211,7 +234,7 @@ def run(args) -> dict:
     loader = BatchLoader(train_ds, args.batch_size, shuffle=True,
                          seed=args.seed, max_labels=args.max_labels,
                          image_weights=args.image_weights,
-                         device_aug=args.device_aug,
+                         device_aug=args.device_aug, quad=args.quad,
                          max_labels_per_tile=max(args.max_labels // 4, 10))
     steps_per_epoch = len(loader)
     assert steps_per_epoch > 0, "dataset smaller than one batch"
@@ -245,7 +268,12 @@ def run(args) -> dict:
     lhyp = scale_gains(lhyp, nc=nc, img_size=img_size,
                        nl=len(spec.strides))
     loss_fn = DetectionLoss(nc=nc, anchors_px=anchor_arrays(spec.anchors),
-                            strides=spec.strides, hyp=lhyp)
+                            strides=spec.strides, hyp=lhyp,
+                            loss_mult=4.0 if args.quad else 1.0)
+    # val batches are never quadded — their loss keeps the x1 scale
+    val_loss_fn = loss_fn if not args.quad else DetectionLoss(
+        nc=nc, anchors_px=anchor_arrays(spec.anchors),
+        strides=spec.strides, hyp=lhyp)
 
     rng = jax.random.PRNGKey(args.seed)
     sample = jnp.zeros((args.batch_size, img_size, img_size, 3), jnp.uint8)
@@ -451,7 +479,8 @@ def run(args) -> dict:
             res = evaluate(fwd, state.ema_params, state.ema_stats, val_loader,
                            nc=nc, conf_thres=0.001, iou_thres=0.6,
                            single_cls=args.single_cls,
-                           loss_fn=loss_fn if args.compute_val_loss else None)
+                           loss_fn=val_loss_fn if args.compute_val_loss
+                           else None)
             fi = fitness(res["mp"], res["mr"], res["map50"], res["map"])
             line += (f" | P {res['mp']:.3f} R {res['mr']:.3f} "
                      f"mAP50 {res['map50']:.3f} mAP75 {res['map75']:.3f} "

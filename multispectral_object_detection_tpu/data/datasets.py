@@ -364,6 +364,80 @@ def collate_batch(samples, max_labels: int = 120):
     return out
 
 
+def collate_quad(samples, max_labels: int = 120, rng: random.Random = None):
+    """Working equivalent of the reference --quad collate_fn4
+    (datasets.py:783-817, train.py:945): each group of 4 samples becomes
+    ONE training image on a 2S canvas — the 4 tiles stitched 2x2, or
+    (p=0.5 per group) the first tile bilinearly upsampled 2x. Both
+    branches give the same static output shapes, (B/4, 2S, 2S, 3) images
+    and (B/4 * 4*max_labels, 6) padded targets, so XLA compiles once.
+    The caller scales the loss x4 (train.py:317: `if opt.quad: loss *= 4`
+    — our loss, like the reference's, multiplies by the canvas batch,
+    which under quad is 4x smaller). Upstream this collate crashes on a
+    leftover debug print (`img.shape` on a tuple, datasets.py:788);
+    rebuilt rather than transliterated.
+
+    Tile layout matches the reference exactly: sample i top-left, i+1
+    bottom-left (label y+1), i+2 top-right (x+1), i+3 bottom-right
+    (x+1, y+1), all coords then halved.
+    """
+    assert len(samples) % 4 == 0, "--quad needs batch divisible by 4"
+    from .native import resize as _resize
+
+    rng = rng or random.Random(0)
+    s = samples[0][0].shape[0]
+    two = samples[0][1] is not None
+    ml4 = 4 * max_labels
+    rgbs, irs, tlist, shapes = [], [], [], []
+    offs = ((0.0, 0.0), (0.0, 1.0), (1.0, 0.0), (1.0, 1.0))  # (x_off, y_off)
+    for g in range(len(samples) // 4):
+        group = samples[g * 4:(g + 1) * 4]
+        labs = []
+        if rng.random() < 0.5:
+            rgb = _resize(group[0][0], 2 * s, 2 * s)
+            ir = _resize(group[0][1], 2 * s, 2 * s) if two else None
+            l0 = group[0][2]
+            if len(l0):
+                labs.append(l0)  # normalized xywh is scale-invariant
+        else:
+            rgb = np.zeros((2 * s, 2 * s, 3), np.uint8)
+            ir = np.zeros((2 * s, 2 * s, 3), np.uint8) if two else None
+            for (xo, yo), (r, q, lab, _si) in zip(offs, group):
+                y0, x0 = int(yo * s), int(xo * s)
+                rgb[y0:y0 + s, x0:x0 + s] = r
+                if two:
+                    ir[y0:y0 + s, x0:x0 + s] = q
+                if len(lab):
+                    l = lab.copy()
+                    l[:, 1] = (l[:, 1] + xo) * 0.5
+                    l[:, 2] = (l[:, 2] + yo) * 0.5
+                    l[:, 3:5] *= 0.5
+                    labs.append(l)
+        labels = np.concatenate(labs, 0) if labs else np.zeros((0, 5),
+                                                               np.float32)
+        t = np.zeros((ml4, 6), dtype=np.float32)
+        m = np.zeros((ml4,), dtype=np.float32)
+        n = min(len(labels), ml4)
+        if n:
+            t[:n, 0] = g
+            t[:n, 1:] = labels[:n]
+            m[:n] = 1.0
+        rgbs.append(rgb)
+        if two:
+            irs.append(ir)
+        tlist.append((t, m))
+        shapes.append(group[0][3])  # train-only path; eval never quads
+    out = {
+        "rgb": np.stack(rgbs),
+        "targets": np.concatenate([t for t, _ in tlist], 0),
+        "tmask": np.concatenate([m for _, m in tlist], 0),
+        "shapes": shapes,
+    }
+    if irs:
+        out["ir"] = np.stack(irs)
+    return out
+
+
 def collate_tiles(ds: PairedDetectionDataset, batch_idx, rng: random.Random,
                   max_labels_per_tile: int = 40):
     """Assemble a device-augmentation batch: 4 letterboxed tiles per sample
@@ -402,10 +476,15 @@ class BatchLoader:
                  shuffle: bool = False, seed: int = 0, max_labels: int = 120,
                  drop_last: bool = True, prefetch: bool = True,
                  image_weights: bool = False, class_weights=None,
-                 device_aug: bool = False, max_labels_per_tile: int = 40):
+                 device_aug: bool = False, max_labels_per_tile: int = 40,
+                 quad: bool = False):
         self.ds = dataset
         self.bs = batch_size
         self.device_aug = device_aug
+        self.quad = quad
+        if quad:
+            assert batch_size % 4 == 0, "--quad needs batch divisible by 4"
+            assert not device_aug, "--quad and --device-aug are exclusive"
         self.max_labels_per_tile = max_labels_per_tile
         if getattr(dataset, "rect", False):
             dataset._setup_rect(batch_size)  # align buckets with batch size
@@ -450,8 +529,10 @@ class BatchLoader:
         if self.device_aug:
             return collate_tiles(self.ds, batch_idx, rng,
                                  self.max_labels_per_tile)
-        return collate_batch([self.ds.get(int(i), rng) for i in batch_idx],
-                             self.max_labels)
+        samples = [self.ds.get(int(i), rng) for i in batch_idx]
+        if self.quad:
+            return collate_quad(samples, self.max_labels, rng)
+        return collate_batch(samples, self.max_labels)
 
     def __iter__(self):
         idx = self._indices()

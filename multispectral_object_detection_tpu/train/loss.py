@@ -111,7 +111,10 @@ class DetectionLoss:
     BALANCE5 = (4.0, 1.0, 0.25, 0.06, 0.02)
 
     def __init__(self, nc: int, anchors_px: np.ndarray, strides: Sequence[int],
-                 hyp: LossHyp = LossHyp()):
+                 hyp: LossHyp = LossHyp(), loss_mult: float = 1.0):
+        # loss_mult: 4.0 under --quad (train.py:317) — the canvas batch is
+        # 4x smaller than the nominal batch, and total scales by batch
+        self.loss_mult = loss_mult
         self.nc = nc
         self.strides = tuple(strides)
         self.anchors_grid = np.asarray(anchors_px, dtype=np.float32) / np.asarray(
@@ -171,5 +174,6 @@ class DetectionLoss:
         lbox = lbox * h.box
         lobj = lobj * h.obj
         lcls = lcls * h.cls
-        total = (lbox + lobj + lcls) * B  # reference scales by batch (loss.py:161)
+        # reference scales by batch (loss.py:161); x4 under --quad
+        total = (lbox + lobj + lcls) * B * self.loss_mult
         return total, {"box": lbox, "obj": lobj, "cls": lcls, "total": total}

@@ -235,6 +235,25 @@ def test_detect_int8_cli(workspace, tmp_path):
     assert nf > 0 and nq > 0 and abs(nq - nf) <= max(4, int(0.2 * nf)), (nf, nq)
 
 
+def test_quad_train_cli(workspace, tmp_path):
+    """--quad (train.py:945): 4 samples -> one 2x-canvas image, loss x4.
+    The upstream collate_fn4 crashes on a debug print; ours must train
+    end-to-end with finite metrics."""
+    root, data_yaml = workspace
+    from multispectral_object_detection_tpu.cli.train_cli import main as train_main
+
+    res = train_main([
+        "--cfg", "yolov5n_fusion_add", "--data", data_yaml,
+        "--epochs", "2", "--batch-size", "4", "--img-size", "128",
+        "--project", str(tmp_path / "runs_q"), "--name", "exp", "--fp32",
+        "--max-labels", "30", "--noautoanchor", "--quad",
+    ])
+    assert np.isfinite(res["map50"])
+    run_dir = tmp_path / "runs_q" / "exp"
+    assert (run_dir / "last" / "state.msgpack").exists()
+    assert (run_dir / "train_batch0.jpg").exists()
+
+
 def test_evolve_loop(workspace, tmp_path):
     """Two generations of hyperparameter evolution (train.py:1016 parity):
     gen 0 trains base hyps, gen 1 mutates from the evolve.txt parent pool."""

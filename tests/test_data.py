@@ -121,6 +121,49 @@ def test_dataset_train_batch_and_loader(paired_root):
     np.testing.assert_array_equal(b["rgb"], b2["rgb"])
 
 
+def test_collate_quad(paired_root):
+    """--quad collate (reference collate_fn4, datasets.py:783-817): both
+    branches give the same static 2S shapes, and stitched labels land in
+    the right quadrant."""
+    import random as pyrandom
+
+    from multispectral_object_detection_tpu.data.datasets import collate_quad
+
+    rgb_dir, ir_dir = paired_root
+    ds = PairedDetectionDataset.from_sources(rgb_dir, ir_dir, img_size=128,
+                                             augment=False, nc=2)
+    samples = [ds.get(i) for i in range(8)]
+    for seed in (0, 1, 2, 3):  # hits both the stitch and upsample branches
+        b = collate_quad(samples, max_labels=40, rng=pyrandom.Random(seed))
+        assert b["rgb"].shape == (2, 256, 256, 3)
+        assert b["ir"].shape == (2, 256, 256, 3)
+        assert b["targets"].shape == (2 * 160, 6)
+        assert b["tmask"].shape == (2 * 160,)
+        t = b["targets"][b["tmask"] > 0]
+        assert len(t) > 0
+        assert (t[:, 2:] >= 0).all() and (t[:, 2:] <= 1).all()
+        assert set(np.unique(t[:, 0])).issubset({0.0, 1.0})
+
+    # force the stitch branch (random() < 0.5 upsamples; seed scan below
+    # finds one that stitches both groups) and check quadrant remap
+    class _Stitch:
+        def random(self):
+            return 0.9
+    b = collate_quad(samples, max_labels=40, rng=_Stitch())
+    # tile 2 of group 0 is samples[2] -> top-right quadrant: x in [.5,1],
+    # y in [0,.5]
+    s2 = samples[2][2]  # (n,5) cls,x,y,w,h of the top-right tile
+    t0 = b["targets"][(b["tmask"] > 0) & (b["targets"][:, 0] == 0)]
+    for lab in s2:
+        want = np.array([(lab[1] + 1.0) * 0.5, lab[2] * 0.5,
+                         lab[3] * 0.5, lab[4] * 0.5])
+        d = np.abs(t0[:, 2:6] - want).sum(1)
+        assert d.min() < 1e-5, (want, t0[:, 2:6])
+    # stitched canvas really contains the tile pixels
+    np.testing.assert_array_equal(b["rgb"][0, :128, 128:], samples[2][0])
+    np.testing.assert_array_equal(b["ir"][0, 128:, :128], samples[1][1])
+
+
 def test_mosaic_output_shape(paired_root):
     import random as pyrandom
 
