@@ -59,6 +59,12 @@ def parse_args(argv=None):
     ap.add_argument("--fp32", action="store_true")
     ap.add_argument("--no-fuse", action="store_true",
                     help="keep live BatchNorm instead of conv-folded inference")
+    ap.add_argument("--line-thickness", type=int, default=2,
+                    help="bounding-box line width (detect_twostream.py:215)")
+    ap.add_argument("--hide-labels", action="store_true",
+                    help="draw boxes without class labels")
+    ap.add_argument("--hide-conf", action="store_true",
+                    help="labels without confidences")
     ap.add_argument("--int8", action="store_true",
                     help="weights-only int8: conv/dense kernels stored "
                          "int8 + per-channel scale in HBM, dequantized to "
@@ -271,14 +277,20 @@ def run(args) -> dict:
                     file=save_dir / "crops" / names[int(c)]
                     / f"{stem}_{k}.jpg")
         if not args.nosave:
+            lt = args.line_thickness
             for b, sc, c in zip(boxes, scores, classes):
                 color = PALETTE[int(c) % len(PALETTE)]
+                # label text per --hide-labels/--hide-conf
+                # (detect_twostream.py:101-103)
+                txt = None if args.hide_labels else (
+                    names[int(c)] if args.hide_conf
+                    else f"{names[int(c)]} {sc:.2f}")
                 for img in (im0, ir0):
                     cv2.rectangle(img, (int(b[0]), int(b[1])),
-                                  (int(b[2]), int(b[3])), color, 2)
-                    cv2.putText(img, f"{names[int(c)]} {sc:.2f}",
-                                (int(b[0]), int(b[1]) - 4),
-                                cv2.FONT_HERSHEY_SIMPLEX, 0.6, color, 2)
+                                  (int(b[2]), int(b[3])), color, lt)
+                    if txt:
+                        cv2.putText(img, txt, (int(b[0]), int(b[1]) - 4),
+                                    cv2.FONT_HERSHEY_SIMPLEX, 0.6, color, lt)
             if is_video:
                 if writer is None:
                     writer = cv2.VideoWriter(
