@@ -41,6 +41,12 @@ def parse_args(argv=None):
     ap.add_argument("--save-coco", type=str, default="",
                     help="write COCO-format detection JSON (test.py:172-182)")
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--wandb", action="store_true",
+                    help="log metrics + bbox-debug panels of the first 16 "
+                         "val images to W&B (test.py:160-170; no-op if "
+                         "wandb is not installed)")
+    ap.add_argument("--entity", type=str, default=None,
+                    help="W&B entity")
     ap.add_argument("--fp32", action="store_true")
     ap.add_argument("--save-txt", action="store_true",
                     help="write per-image label txt files "
@@ -267,11 +273,46 @@ def run(args) -> dict:
             (save_dir / "labels" / f"{stem}.txt").write_text(
                 "\n".join(lines) + ("\n" if lines else ""))
 
+    # W&B bbox-debug panels of the first 16 val images (test.py:160-170)
+    xlog = panels = None
+    if args.wandb:
+        from ..utils.loggers import ExperimentLogger
+
+        xlog = ExperimentLogger(
+            str(save_dir or Path(args.project) / args.name),
+            enable_tb=False, enable_wandb=True, run_name=args.name,
+            entity=args.entity)
+        if xlog.wandb_run is not None:
+            panels = []
+            base_pi = per_image
+
+            def per_image(idx, boxes, scores, classes, native_hw,
+                          _base=base_pi):
+                if _base is not None:
+                    _base(idx, boxes, scores, classes, native_hw)
+                if len(panels) < 16 and idx < len(ds.rgb_files):
+                    import cv2 as _cv2
+
+                    im = _cv2.imread(ds.rgb_files[idx])
+                    if im is not None:
+                        panels.append((im[:, :, ::-1],
+                                       (boxes, scores, classes)))
+
     res = evaluate(fwd, params, stats, loader, nc=nc,
                    conf_thres=args.conf_thres, iou_thres=args.iou_thres,
                    single_cls=args.single_cls, loss_fn=loss_fn,
                    hybrid=args.save_hybrid, per_image=per_image,
                    confusion=confusion, curves=args.plots)
+    if panels:
+        xlog.log_bbox_debug_images([p[0] for p in panels],
+                                   [p[1] for p in panels], names)
+    if xlog is not None:
+        xlog.log_scalars({"metrics/precision": res["mp"],
+                          "metrics/recall": res["mr"],
+                          "metrics/mAP_0.5": res["map50"],
+                          "metrics/mAP_0.75": res["map75"],
+                          "metrics/mAP_0.5:0.95": res["map"]}, 0)
+        xlog.close()
 
     if args.plots:
         from ..utils.plots import (plot_confusion_matrix, plot_mc_curve,

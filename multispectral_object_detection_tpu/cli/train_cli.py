@@ -95,6 +95,11 @@ def parse_args(argv=None):
     ap.add_argument("--upload-dataset", action="store_true",
                     help="log the dataset as a W&B artifact "
                          "(wandb_utils.py:166)")
+    ap.add_argument("--entity", type=str, default=None,
+                    help="W&B entity (train.py:948)")
+    ap.add_argument("--bbox-interval", type=int, default=-1,
+                    help="log W&B bbox-debug panels of the val set every N "
+                         "epochs (train.py:951, test.py:160-170); -1 = off")
     ap.add_argument("--quad", action="store_true",
                     help="quad dataloader (train.py:945): each 4 samples "
                          "become one 2x-canvas training image (stitched "
@@ -368,7 +373,7 @@ def run(args) -> dict:
 
     xlog = ExperimentLogger(str(save_dir), enable_tb=not args.nosave,
                             enable_wandb=args.wandb, config=vars(args),
-                            run_name=args.name)
+                            run_name=args.name, entity=args.entity)
     if args.upload_dataset:
         xlog.log_dataset_artifact(data, name=Path(args.data).stem)
     if not args.nosave:
@@ -476,11 +481,29 @@ def run(args) -> dict:
         fi = 0.0
         if val_loader is not None and (epoch % args.eval_every == 0
                                        or epoch == args.epochs - 1):
+            # W&B bbox-debug panels every --bbox-interval epochs
+            # (train.py:951 -> test.py:160-170)
+            panels = []
+            pi_hook = None
+            if (xlog.wandb_run is not None and args.bbox_interval > 0
+                    and epoch % args.bbox_interval == 0):
+                def pi_hook(idx, boxes, scores, classes, native_hw):
+                    if len(panels) < 16 and idx < len(val_ds.rgb_files):
+                        import cv2 as _cv2
+
+                        im = _cv2.imread(val_ds.rgb_files[idx])
+                        if im is not None:
+                            panels.append((im[:, :, ::-1],
+                                           (boxes, scores, classes)))
             res = evaluate(fwd, state.ema_params, state.ema_stats, val_loader,
                            nc=nc, conf_thres=0.001, iou_thres=0.6,
-                           single_cls=args.single_cls,
+                           single_cls=args.single_cls, per_image=pi_hook,
                            loss_fn=val_loss_fn if args.compute_val_loss
                            else None)
+            if panels:
+                xlog.log_bbox_debug_images(
+                    [p[0] for p in panels], [p[1] for p in panels],
+                    data.get("names", [str(i) for i in range(nc)]))
             fi = fitness(res["mp"], res["mr"], res["map50"], res["map"])
             line += (f" | P {res['mp']:.3f} R {res['mr']:.3f} "
                      f"mAP50 {res['map50']:.3f} mAP75 {res['map75']:.3f} "

@@ -28,7 +28,7 @@ class ExperimentLogger:
 
     def __init__(self, save_dir: str, enable_tb: bool = True,
                  enable_wandb: bool = False, config: Optional[dict] = None,
-                 run_name: str = "exp"):
+                 run_name: str = "exp", entity: Optional[str] = None):
         self.save_dir = Path(save_dir)
         self.tb = None
         self.wandb_run = None
@@ -43,8 +43,11 @@ class ExperimentLogger:
             try:
                 import wandb
 
+                self.save_dir.mkdir(parents=True, exist_ok=True)
+
                 self.wandb_run = wandb.init(dir=str(self.save_dir),
-                                            name=run_name, config=config)
+                                            name=run_name, config=config,
+                                            entity=entity)
             except Exception as e:
                 logger.warning(f"wandb unavailable: {e}")
 

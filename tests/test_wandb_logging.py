@@ -58,6 +58,51 @@ def fake_wandb(monkeypatch):
     return run
 
 
+def test_test_cli_wandb_panels(tmp_path, fake_wandb):
+    """test.py --wandb logs metrics + bbox-debug panels of the val images
+    (reference test.py:160-170)."""
+    import yaml
+
+    from multispectral_object_detection_tpu.data.synthetic import (
+        make_paired_dataset)
+
+    rgb, ir = make_paired_dataset(str(tmp_path / "d"), n_images=8,
+                                  img_size=128, nc=2, seed=5)
+    data_yaml = tmp_path / "d.yaml"
+    data_yaml.write_text(yaml.safe_dump({
+        "train_rgb": rgb, "train_ir": ir, "val_rgb": rgb, "val_ir": ir,
+        "nc": 2, "names": ["red", "blue"]}))
+    # random-init stripped checkpoint (panels need detections, not quality —
+    # eval runs at conf 0.001 so an untrained net still emits candidates)
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from multispectral_object_detection_tpu.models import build_model
+    from multispectral_object_detection_tpu.models.configs import get_config
+
+    model = build_model(get_config("yolov5n_fusion_add", nc=2),
+                        dtype=jnp.float32)
+    z = jnp.zeros((1, 128, 128, 3))
+    v = jax.jit(lambda r, a, b: model.init(r, a, b, train=False))(
+        jax.random.PRNGKey(0), z, z)
+    ck = tmp_path / "ck"
+    ck.mkdir()
+    (ck / "model.msgpack").write_bytes(serialization.to_bytes(
+        {"params": v["params"], "batch_stats": v.get("batch_stats", {})}))
+
+    from multispectral_object_detection_tpu.cli.test_cli import main as tmain
+
+    res = tmain(["--cfg", "yolov5n_fusion_add", "--data", str(data_yaml),
+                 "--weights", str(ck),
+                 "--batch-size", "4", "--img-size", "128", "--fp32",
+                 "--wandb", "--project", str(tmp_path / "rt"), "--name", "w"])
+    assert np.isfinite(res["map50"])
+    keys = [k for p, _ in fake_wandb.logged for k in p]
+    assert "Bounding Box Debugger/Images" in keys
+    assert "metrics/mAP_0.5" in keys
+
+
 def test_noop_without_wandb(tmp_path):
     from multispectral_object_detection_tpu.utils.loggers import (
         ExperimentLogger)
