@@ -31,7 +31,9 @@ def parse_args(argv=None):
     ap.add_argument("--hyp", type=str, default="scratch")
     ap.add_argument("--epochs", type=int, default=300)
     ap.add_argument("--batch-size", type=int, default=16)
-    ap.add_argument("--img-size", type=int, default=640)
+    ap.add_argument("--img-size", type=int, nargs="+", default=[640],
+                    help="[train, val] image sizes (train.py:928; one value "
+                         "uses it for both)")
     ap.add_argument("--weights", type=str, default="",
                     help="checkpoint dir to warm-start from")
     ap.add_argument("--resume", nargs="?", const=True, default="",
@@ -158,7 +160,10 @@ def run(args) -> dict:
     check_dataset(data)  # verify val paths / attempt autodownload recipe
     nc = 1 if args.single_cls else int(data["nc"])
     two_stream = "train_ir" in data
-    img_size = check_img_size(args.img_size, 32)
+    sizes = (args.img_size if isinstance(args.img_size, (list, tuple))
+             else [args.img_size])
+    img_size = check_img_size(sizes[0], 32)
+    val_img_size = check_img_size(sizes[-1], 32)
     # device-utilization guard: use every device group; round the batch up
     # to a multiple rather than silently idling chips (the reference asserts
     # divisibility instead, utils/torch_utils.py:83-86)
@@ -248,7 +253,7 @@ def run(args) -> dict:
     if not args.noval:
         val_ds = PairedDetectionDataset.from_sources(
             data["val_rgb"] if two_stream else data["val"],
-            data.get("val_ir"), img_size=img_size, augment=False,
+            data.get("val_ir"), img_size=val_img_size, augment=False,
             nc=nc if not args.single_cls else None,
             cache_dir=str(save_dir / "cache"))
         if args.single_cls:
