@@ -254,6 +254,52 @@ def test_quad_train_cli(workspace, tmp_path):
     assert (run_dir / "train_batch0.jpg").exists()
 
 
+def test_img_size_pair_cli(workspace, tmp_path):
+    """--img-size accepts a [train, val] pair (train.py:928): the train
+    loader runs at sizes[0], the val leg at sizes[-1], and both survive a
+    full epoch+eval without shape errors."""
+    root, data_yaml = workspace
+    from multispectral_object_detection_tpu.cli.train_cli import main as train_main
+
+    res = train_main([
+        "--cfg", "yolov5n_fusion_add", "--data", data_yaml,
+        "--epochs", "1", "--batch-size", "4", "--img-size", "128", "96",
+        "--project", str(tmp_path / "runs_p"), "--name", "exp", "--fp32",
+        "--max-labels", "30", "--noautoanchor",
+    ])
+    assert np.isfinite(res["map50"])
+    opt = yaml.safe_load(
+        (tmp_path / "runs_p" / "exp" / "opt.yaml").read_text())
+    assert opt["img_size"] == [128, 96]
+
+
+def test_detect_render_flags(workspace, tmp_path):
+    """--line-thickness/--hide-labels/--hide-conf (detect_twostream.py:215,
+    :101-103) reach the renderer: the saved image changes when labels are
+    hidden, and every flag combination runs end-to-end."""
+    root, data_yaml = workspace
+    run_dir = root / "runs" / "exp"  # from test_train_test_detect_cli
+    from multispectral_object_detection_tpu.cli.detect_cli import main as det_main
+
+    dirs = yaml.safe_load(Path(data_yaml).read_text())
+    # near-zero conf so a 3-epoch nano model is guaranteed to draw boxes
+    common = ["--cfg", "yolov5n_fusion_add", "--weights", str(run_dir / "last"),
+              "--source1", dirs["val_rgb"], "--source2", dirs["val_ir"],
+              "--img-size", "128", "--conf-thres", "0.0001", "--nc", "2",
+              "--fp32", "--project", str(tmp_path / "render")]
+    det_main(common + ["--name", "full"])
+    det_main(common + ["--name", "bare", "--hide-labels",
+                       "--line-thickness", "1"])
+    det_main(common + ["--name", "noconf", "--hide-conf"])
+
+    def first_jpg(name):
+        d = tmp_path / "render" / name
+        return sorted(d.glob("*_rgb.jpg"))[0].read_bytes()
+
+    # labelled and label-free renders of the same detections must differ
+    assert first_jpg("full") != first_jpg("bare")
+
+
 def test_evolve_loop(workspace, tmp_path):
     """Two generations of hyperparameter evolution (train.py:1016 parity):
     gen 0 trains base hyps, gen 1 mutates from the evolve.txt parent pool."""
