@@ -71,6 +71,20 @@ def parse_args(argv=None):
                          "the compute dtype inside the jit "
                          "(models/quantize.py; 2.4x smaller resident "
                          "weights for multi-model serving)")
+    # ---- reference-compat flags (detect_twostream.py:200-218) ----
+    ap.add_argument("--device", type=str, default="",
+                    help="'cpu' forces the CPU platform; CUDA-style "
+                         "indices are a no-op on TPU")
+    ap.add_argument("--update", action="store_true",
+                    help="strip the checkpoint to inference-only after "
+                         "the run (detect_twostream.py:230-232 "
+                         "strip_optimizer -> utils/checkpoint."
+                         "strip_checkpoint)")
+    ap.add_argument("--view-img", action="store_true",
+                    help="accepted for compatibility (detect_twostream"
+                         ".py:205); this build is headless — results are "
+                         "written to the run dir instead of a display "
+                         "window")
     return ap.parse_args(argv)
 
 
@@ -93,9 +107,15 @@ def run(args) -> dict:
     from ..models.configs import get_config
     from ..ops.nms import batched_nms
     from ..utils.checkpoint import load_inference_params
-    from ..utils.general import check_img_size, increment_path, set_logging
+    from ..utils.general import (apply_device_arg, check_img_size,
+                                 increment_path, set_logging)
 
     set_logging()
+    apply_device_arg(getattr(args, "device", ""))
+    if getattr(args, "view_img", False):
+        logger.info(
+            "--view-img: headless build, writing annotated frames to the "
+            "run dir instead of a display window")
     s = check_img_size(args.img_size, 32)
     save_dir = increment_path(Path(args.project) / args.name,
                               exist_ok=args.exist_ok)
@@ -357,6 +377,14 @@ def run(args) -> dict:
     logger.info(f"{n_frames} pairs, {n_det_total} detections, "
                 f"{fps:.1f} FPS end-to-end "
                 f"({fps_steady:.1f} steady-state) -> {save_dir}")
+    if getattr(args, "update", False):
+        # detect_twostream.py:230-232: finalize the weights for inference
+        # after a successful run (their strip_optimizer; halves the size)
+        from ..utils.checkpoint import strip_checkpoint
+        strip_checkpoint(args.weights)
+        logger.info(f"--update: stripped {args.weights} to inference-only "
+                    "(model.msgpack)")
+
     return {"n_images": n_frames, "n_det": n_det_total, "fps": fps,
             "fps_steady": fps_steady}
 

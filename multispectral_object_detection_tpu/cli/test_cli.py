@@ -77,6 +77,9 @@ def parse_args(argv=None):
                          "on device (models/quantize.py; the TPU "
                          "counterpart of the reference's fp16 inference, "
                          "test.py:66-68)")
+    ap.add_argument("--device", type=str, default="",
+                    help="'cpu' forces the CPU platform; CUDA-style indices "
+                         "are a no-op on TPU (test.py:303 compat)")
     ap.add_argument("--data-parallel", type=int, default=0,
                     help="shard eval batches over N devices of a "
                          "jax.sharding.Mesh (0 = single device). The "
@@ -127,9 +130,11 @@ def run(args) -> dict:
     from ..data.datasets import BatchLoader, PairedDetectionDataset
     from ..train.evaluator import evaluate
     from ..train.trainer import make_eval_forward
-    from ..utils.general import check_img_size, set_logging
+    from ..utils.general import (apply_device_arg, check_img_size,
+                                 set_logging)
 
     set_logging()
+    apply_device_arg(getattr(args, "device", ""))
     img_size = check_img_size(args.img_size, 32)
     model, params, stats, data, nc, two_stream = _build(args, img_size)
 

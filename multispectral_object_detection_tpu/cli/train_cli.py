@@ -60,12 +60,14 @@ def parse_args(argv=None):
                          "leaner; at batch 16 'none' wins")
     ap.add_argument("--label-smoothing", type=float, default=0.0)
     ap.add_argument("--single-cls", action="store_true")
-    ap.add_argument("--noval", action="store_true")
+    ap.add_argument("--noval", "--notest", action="store_true",
+                    help="skip per-epoch eval (reference spells it --notest,"
+                         " train.py:936)")
     ap.add_argument("--nosave", action="store_true")
     ap.add_argument("--max-labels", type=int, default=120)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--eval-every", type=int, default=1)
-    ap.add_argument("--save-period", type=int, default=-1)
+    ap.add_argument("--save-period", "--save_period", type=int, default=-1)
     ap.add_argument("--ckpt-every", type=int, default=1,
                     help="save the rolling 'last' checkpoint every N epochs "
                          "(host serialization is expensive on small VMs)")
@@ -94,12 +96,14 @@ def parse_args(argv=None):
                          "epoch (train.py:690-699)")
     ap.add_argument("--wandb", action="store_true",
                     help="enable W&B logging (no-op if not installed)")
-    ap.add_argument("--upload-dataset", action="store_true",
+    ap.add_argument("--upload-dataset", "--upload_dataset",
+                    action="store_true",
                     help="log the dataset as a W&B artifact "
                          "(wandb_utils.py:166)")
     ap.add_argument("--entity", type=str, default=None,
                     help="W&B entity (train.py:948)")
-    ap.add_argument("--bbox-interval", type=int, default=-1,
+    ap.add_argument("--bbox-interval", "--bbox_interval", type=int,
+                    default=-1,
                     help="log W&B bbox-debug panels of the val set every N "
                          "epochs (train.py:951, test.py:160-170); -1 = off")
     ap.add_argument("--quad", action="store_true",
@@ -114,6 +118,31 @@ def parse_args(argv=None):
                     help="vary train image size +/-50%% per batch over a "
                          "stride-64 ladder (train.py:747; each size is one "
                          "cached XLA program)")
+    # ---- reference-compat flags (drop-in CLI surface, train.py:924-957) ----
+    ap.add_argument("--device", type=str, default="",
+                    help="'cpu' forces the CPU platform; CUDA-style indices "
+                         "are a no-op on TPU (mesh owns placement)")
+    ap.add_argument("--sync-bn", action="store_true",
+                    help="accepted for compatibility (train.py:942) — BN "
+                         "statistics are global-batch by construction in "
+                         "the single-program mesh (parallel/mesh.py), so "
+                         "SyncBN is always on")
+    ap.add_argument("--workers", type=int, default=8,
+                    help="accepted for compatibility (train.py:946); the "
+                         "host pipeline is a fixed 2-deep prefetch thread "
+                         "sized for single-core hosts (data/datasets.py:"
+                         "BatchLoader)")
+    ap.add_argument("--bucket", type=str, default="",
+                    help="gsutil upload bucket (train.py:931) — unsupported "
+                         "in this zero-egress build; noted and skipped")
+    ap.add_argument("--artifact-alias", "--artifact_alias", type=str,
+                    default="latest",
+                    help="accepted for compatibility (train.py:956); dataset "
+                         "artifact versioning rides --upload-dataset")
+    ap.add_argument("--local_rank", type=int, default=-1,
+                    help="accepted for compatibility (train.py:943); the "
+                         "DDP launcher is replaced by one mesh program — "
+                         "no per-rank processes to index")
     return ap.parse_args(argv)
 
 
@@ -147,6 +176,14 @@ def run(args) -> dict:
     from ..utils.metrics import fitness
 
     set_logging()
+    from ..utils.general import apply_device_arg
+    apply_device_arg(getattr(args, "device", ""))
+    if getattr(args, "sync_bn", False):
+        logger.info("--sync-bn: always on — BN stats are global-batch by "
+                    "construction on the mesh (parallel/mesh.py)")
+    if getattr(args, "bucket", ""):
+        logger.info(f"--bucket {args.bucket}: gsutil upload unsupported "
+                    "(zero-egress build); checkpoints stay local")
     init_seeds(args.seed)
     save_dir = increment_path(Path(args.project) / args.name,
                               exist_ok=args.exist_ok)

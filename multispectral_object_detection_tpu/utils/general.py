@@ -30,6 +30,21 @@ def get_latest_run(search_dir: str = ".") -> str:
         glob.glob(f"{search_dir}/**/last", recursive=True)
     return max(paths, key=os.path.getctime) if paths else ""
 
+def apply_device_arg(device: str):
+    """Reference `--device` compat (torch_utils.select_device, train.py:934):
+    'cpu' forces the CPU platform; a CUDA-style index ('0', '0,1') is a
+    no-op here — on TPU, device placement is owned by the single-program
+    mesh (parallel/mesh.py), not a per-process visible-devices mask."""
+    if not device:
+        return
+    if str(device).lower() == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        logging.info(f"--device {device}: ignored on TPU "
+                     "(the sharding mesh owns device placement)")
+
+
 def check_img_size(img_size: int, stride: int = 32) -> int:
     """Round image size up to a stride multiple (general.py:130)."""
     new = int(np.ceil(img_size / stride) * stride)

@@ -300,6 +300,54 @@ def test_detect_render_flags(workspace, tmp_path):
     assert first_jpg("full") != first_jpg("bare")
 
 
+def test_reference_compat_flags(workspace, tmp_path):
+    """Drop-in CLI compatibility with the reference spellings: underscore
+    variants (--save_period/--bbox_interval/--upload_dataset, train.py:
+    937-956), --notest as the alias of --noval, and the accepted-for-compat
+    flags (--device/--sync-bn/--workers/--bucket/--local_rank); detect
+    --update strips the checkpoint like strip_optimizer
+    (detect_twostream.py:230-232)."""
+    import shutil
+
+    root, data_yaml = workspace
+    from multispectral_object_detection_tpu.cli.train_cli import parse_args
+
+    a = parse_args([
+        "--data", "d.yaml", "--notest", "--save_period", "5",
+        "--bbox_interval", "2", "--upload_dataset", "--sync-bn",
+        "--workers", "4", "--bucket", "gs://x", "--local_rank", "0",
+        "--device", "cpu", "--artifact_alias", "v3"])
+    assert a.noval and a.save_period == 5 and a.bbox_interval == 2
+    assert a.upload_dataset and a.sync_bn and a.device == "cpu"
+    assert a.artifact_alias == "v3"
+
+    # --device cpu + --sync-bn through a real (1-epoch) train
+    from multispectral_object_detection_tpu.cli.train_cli import main as train_main
+    res = train_main([
+        "--cfg", "yolov5n_fusion_add", "--data", data_yaml,
+        "--epochs", "1", "--batch-size", "4", "--img-size", "128",
+        "--project", str(tmp_path / "runs_c"), "--name", "exp", "--fp32",
+        "--max-labels", "30", "--noautoanchor",
+        "--device", "cpu", "--sync-bn"])
+    assert "map50" in res
+
+    # detect --update: strips to inference-only weights after the run
+    run_dir = root / "runs" / "exp"  # from test_train_test_detect_cli
+    ckpt = tmp_path / "ckpt_u"
+    shutil.copytree(run_dir / "last", ckpt)
+    (ckpt / "model.msgpack").unlink(missing_ok=True)
+    dirs = yaml.safe_load(Path(data_yaml).read_text())
+    from multispectral_object_detection_tpu.cli.detect_cli import main as det_main
+    det_main([
+        "--cfg", "yolov5n_fusion_add", "--weights", str(ckpt),
+        "--source1", dirs["val_rgb"], "--source2", dirs["val_ir"],
+        "--img-size", "128", "--conf-thres", "0.25", "--nc", "2",
+        "--fp32", "--nosave", "--update", "--view-img",
+        "--project", str(tmp_path / "det_u"), "--name", "e"])
+    assert (ckpt / "model.msgpack").exists()
+    assert json.loads((ckpt / "meta.json").read_text())["stripped"]
+
+
 def test_evolve_loop(workspace, tmp_path):
     """Two generations of hyperparameter evolution (train.py:1016 parity):
     gen 0 trains base hyps, gen 1 mutates from the evolve.txt parent pool."""
