@@ -41,6 +41,25 @@ def parse_args(argv=None):
     ap.add_argument("--tflite", action="store_true",
                     help="also export a TFLite flatbuffer (the reference's "
                          "CoreML mobile role, export.py:113-124)")
+    # ---- reference-compat flags (models/export.py:29-35) ----
+    ap.add_argument("--grid", action="store_true",
+                    help="accepted for compatibility (export.py:32): the "
+                         "exported program always runs Detect's grid "
+                         "decode (model.decode); add --with-nms to also "
+                         "bake in NMS")
+    ap.add_argument("--device", type=str, default="",
+                    help="'cpu' forces the CPU platform for the export "
+                         "trace; StableHLO itself is device-portable")
+    ap.add_argument("--dynamic", action="store_true",
+                    help="dynamic batch/size axes (export.py:33) — "
+                         "rejected by design: XLA/TPU programs are "
+                         "static-shape; export one artifact per shape "
+                         "instead (this flag logs that and proceeds "
+                         "static)")
+    ap.add_argument("--simplify", action="store_true",
+                    help="accepted for compatibility (export.py:34, "
+                         "onnx-simplifier): XLA already canonicalizes/"
+                         "fuses during lowering; no-op here")
     return ap.parse_args(argv)
 
 
@@ -53,6 +72,13 @@ def run(args) -> str:
     from ..models.configs import get_config
     from ..ops.nms import batched_nms
     from ..utils.checkpoint import load_inference_params
+    from ..utils.general import apply_device_arg
+
+    apply_device_arg(getattr(args, "device", ""))
+    if getattr(args, "dynamic", False):
+        logger.info("--dynamic: XLA programs are static-shape by design; "
+                    "exporting the requested fixed shape (run once per "
+                    "deployment shape instead)")
 
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
     cfg = args.cfg if args.cfg.endswith((".yaml", ".yml")) else \

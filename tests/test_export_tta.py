@@ -96,3 +96,12 @@ def test_tta_forward_shapes_and_flip_consistency():
     # the flipped pass maps x back into the same canvas range
     xs = np.asarray(d[..., 0])
     assert xs.min() > -70 and xs.max() < 140
+
+
+def test_export_compat_flags():
+    """models/export.py:29-35 surface: --grid/--dynamic/--simplify/--device
+    parse and are honestly handled (static shapes by design)."""
+    from multispectral_object_detection_tpu.cli.export_cli import parse_args
+    a = parse_args(["--weights", "w", "--grid", "--dynamic", "--simplify",
+                    "--device", "cpu"])
+    assert a.grid and a.dynamic and a.simplify and a.device == "cpu"
