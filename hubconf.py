@@ -23,6 +23,11 @@ yolov5s = _make("yolov5s")
 yolov5m = _make("yolov5m")
 yolov5l = _make("yolov5l")
 yolov5x = _make("yolov5x")
+# P6 (4-scale, 1280px) family — reference hubconf.py:105-122
+yolov5s6 = _make("yolov5s6")
+yolov5m6 = _make("yolov5m6")
+yolov5l6 = _make("yolov5l6")
+yolov5x6 = _make("yolov5x6")
 cft = _make("yolov5l_fusion_transformerx3")
 cft_s = _make("yolov5s_fusion_transformerx3")
 fusion_add = _make("yolov5l_fusion_add")

@@ -65,6 +65,8 @@ def test_hubconf_constructors():
     assert not det.two_stream
     det2 = hubconf.cft_s(nc=1, img_size=64)
     assert det2.two_stream
+    det3 = hubconf.yolov5s6(nc=2, img_size=64)  # P6 family (hubconf.py:105)
+    assert det3.model.spec.nl == 4  # 4 detect scales P3-P6
 
 
 def test_rest_api_build():
