@@ -118,6 +118,12 @@ def parse_args(argv=None):
                     help="vary train image size +/-50%% per batch over a "
                          "stride-64 ladder (train.py:747; each size is one "
                          "cached XLA program)")
+    ap.add_argument("--freeze", type=str, nargs="*", default=None,
+                    help="freeze parameters whose path contains any of "
+                         "these substrings (reference train.py:535-540 "
+                         "freeze loop, hardcoded empty upstream; e.g. "
+                         "--freeze stream1_ stream2_ freezes both "
+                         "backbones for fusion-only fine-tuning)")
     # ---- reference-compat flags (drop-in CLI surface, train.py:924-957) ----
     ap.add_argument("--device", type=str, default="",
                     help="'cpu' forces the CPU platform; CUDA-style indices "
@@ -327,9 +333,15 @@ def run(args) -> dict:
     shapes = jax.eval_shape(
         model.init, rng, sample.astype(jnp.float32),
         *([] if not two_stream else [sample.astype(jnp.float32)]))
-    tx, _ = build_optimizer(shapes["params"], ohyp, steps_per_epoch,
-                            args.epochs, accumulate, args.batch_size,
-                            linear_lr=args.linear_lr)
+    tx, roles = build_optimizer(shapes["params"], ohyp, steps_per_epoch,
+                                args.epochs, accumulate, args.batch_size,
+                                linear_lr=args.linear_lr,
+                                freeze=tuple(args.freeze or ()))
+    if args.freeze:
+        n_frozen = sum(int(s.size) for s, r in zip(
+            jax.tree.leaves(shapes["params"]), jax.tree.leaves(roles))
+            if r == "frozen")
+        logger.info(f"--freeze {args.freeze}: {n_frozen:,} params frozen")
 
     state = create_train_state(model, tx, rng, sample,
                                sample if two_stream else None)

@@ -333,9 +333,23 @@ def opt_emitted(opt_state) -> jnp.ndarray:
 
 def build_optimizer(params, hyp: OptHyp, steps_per_epoch: int, epochs: int,
                     accumulate: int = 1, total_batch_size: int = 64,
-                    linear_lr: bool = False, warmup_min_iters: int = 1000):
-    """Returns (tx, roles). Adam variant mirrors train.py:562-565."""
-    roles = jax.tree_util.tree_map_with_path(param_role, params)
+                    linear_lr: bool = False, warmup_min_iters: int = 1000,
+                    freeze: tuple = ()):
+    """Returns (tx, roles). Adam variant mirrors train.py:562-565.
+
+    `freeze`: substrings of parameter paths to exclude from training
+    (reference train.py:535-540 freeze-by-name loop; their list is
+    hardcoded empty — ours is CLI-reachable via train --freeze)."""
+    def role_with_freeze(path, leaf):
+        if freeze:
+            dotted = ".".join(
+                str(getattr(k, "key", getattr(k, "name", str(k))))
+                for k in path)
+            if any(f in dotted for f in freeze):
+                return "frozen"
+        return param_role(path, leaf)
+
+    roles = jax.tree_util.tree_map_with_path(role_with_freeze, params)
     if hyp.adam:
         tx = yolo_adam(roles, hyp, steps_per_epoch, epochs, accumulate,
                        total_batch_size, linear_lr, warmup_min_iters)
