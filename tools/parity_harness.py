@@ -236,7 +236,12 @@ def run_reference(out: Path, data_yaml: Path, cfg_yaml: Path, epochs: int,
 
 
 def run_ours(out: Path, data_yaml: Path, cfg_name: str, epochs: int,
-             batch: int, img: int):
+             batch: int, img: int, extra=()):
+    # `extra` carries trajectory-neutral cadence flags (--eval-every /
+    # --ckpt-every): the final-epoch eval and `last` checkpoint are
+    # unconditional in train_cli, so the returned metrics and the
+    # pos_emb invariant are identical either way — only 1-core host
+    # wall time changes.
     from multispectral_object_detection_tpu.cli.train_cli import main
     from multispectral_object_detection_tpu.utils.checkpoint import (
         load_checkpoint)
@@ -246,6 +251,7 @@ def run_ours(out: Path, data_yaml: Path, cfg_name: str, epochs: int,
         "--epochs", str(epochs), "--batch-size", str(batch),
         "--img-size", str(img), "--project", str(out / "ours"),
         "--name", "run", "--fp32", "--max-labels", "60", "--noautoanchor",
+        *extra,
     ])
     # our side of the frozen-pos_emb invariant: after the full recipe the
     # EMA pos_emb leaves must still be exactly zero

@@ -35,13 +35,19 @@ def main():
     ap.add_argument("--n-val", type=int, default=16)
     ap.add_argument("--nc", type=int, default=4)
     ap.add_argument("--out", default="/tmp/parity_nc4")
+    ap.add_argument("--eval-every", type=int, default=50,
+                    help="in-train eval cadence (final epoch always evals)")
+    ap.add_argument("--ckpt-every", type=int, default=50,
+                    help="last-ckpt cadence (final epoch always saves)")
     args = ap.parse_args()
 
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
     data_yaml = make_data(out, args.n_train, args.n_val, args.img, args.nc)
     res = run_ours(out, data_yaml, args.cfg, args.epochs, args.batch,
-                   args.img)
+                   args.img,
+                   extra=("--eval-every", str(args.eval_every),
+                          "--ckpt-every", str(args.ckpt_every)))
     print(json.dumps({
         "cfg": args.cfg, "nc": args.nc, "epochs": args.epochs,
         "map50": float(res["map50"]), "map": float(res["map"]),
