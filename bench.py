@@ -87,6 +87,10 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    from multispectral_object_detection_tpu.utils.general import (
+        enable_compilation_cache)
+    enable_compilation_cache()
+
     from multispectral_object_detection_tpu.models import build_model
     from multispectral_object_detection_tpu.models.configs import yolov5_two_stream
     from multispectral_object_detection_tpu.models.model import fuse_conv_bn_params

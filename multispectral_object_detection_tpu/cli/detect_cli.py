@@ -108,10 +108,12 @@ def run(args) -> dict:
     from ..ops.nms import batched_nms
     from ..utils.checkpoint import load_inference_params
     from ..utils.general import (apply_device_arg, check_img_size,
-                                 increment_path, set_logging)
+                                 enable_compilation_cache, increment_path,
+                                 set_logging)
 
     set_logging()
     apply_device_arg(getattr(args, "device", ""))
+    enable_compilation_cache()
     if getattr(args, "view_img", False):
         logger.info(
             "--view-img: headless build, writing annotated frames to the "

@@ -72,9 +72,10 @@ def run(args) -> str:
     from ..models.configs import get_config
     from ..ops.nms import batched_nms
     from ..utils.checkpoint import load_inference_params
-    from ..utils.general import apply_device_arg
+    from ..utils.general import apply_device_arg, enable_compilation_cache
 
     apply_device_arg(getattr(args, "device", ""))
+    enable_compilation_cache()
     if getattr(args, "dynamic", False):
         logger.info("--dynamic: XLA programs are static-shape by design; "
                     "exporting the requested fixed shape (run once per "

@@ -131,10 +131,11 @@ def run(args) -> dict:
     from ..train.evaluator import evaluate
     from ..train.trainer import make_eval_forward
     from ..utils.general import (apply_device_arg, check_img_size,
-                                 set_logging)
+                                 enable_compilation_cache, set_logging)
 
     set_logging()
     apply_device_arg(getattr(args, "device", ""))
+    enable_compilation_cache()
     img_size = check_img_size(args.img_size, 32)
     model, params, stats, data, nc, two_stream = _build(args, img_size)
 

@@ -182,8 +182,9 @@ def run(args) -> dict:
     from ..utils.metrics import fitness
 
     set_logging()
-    from ..utils.general import apply_device_arg
+    from ..utils.general import apply_device_arg, enable_compilation_cache
     apply_device_arg(getattr(args, "device", ""))
+    enable_compilation_cache()
     if getattr(args, "sync_bn", False):
         logger.info("--sync-bn: always on — BN stats are global-batch by "
                     "construction on the mesh (parallel/mesh.py)")

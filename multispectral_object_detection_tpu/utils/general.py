@@ -30,6 +30,33 @@ def get_latest_run(search_dir: str = ".") -> str:
         glob.glob(f"{search_dir}/**/last", recursive=True)
     return max(paths, key=os.path.getctime) if paths else ""
 
+def enable_compilation_cache(cache_dir: str = ""):
+    """Persistent XLA compilation cache across processes.
+
+    Over the axon tunnel the flagship train-step compile costs minutes of
+    wall per process start (remote compile); caching the serialized
+    executable on disk makes restarts/resumes/bench re-runs near-instant.
+    Safe everywhere: if the backend doesn't support executable
+    serialization JAX logs a warning and compiles uncached. Opt out with
+    MT_NO_COMPILATION_CACHE=1.
+    """
+    if os.environ.get("MT_NO_COMPILATION_CACHE"):
+        return
+    try:
+        import jax
+        path = cache_dir or os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.expanduser("~/.cache/mt_jax_cache"))
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # cache anything non-trivial; the tunnel makes even mid-size
+        # compiles expensive
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception as e:  # pragma: no cover - version-dependent knobs
+        logging.info(f"compilation cache unavailable: {e}")
+
+
 def apply_device_arg(device: str):
     """Reference `--device` compat (torch_utils.select_device, train.py:934):
     'cpu' forces the CPU platform; a CUDA-style index ('0', '0,1') is a

@@ -51,3 +51,33 @@ def test_log_average_miss_rate():
     tp2 = np.array([1, 1, 0, 1, 0, 1, 0, 0, 1, 0], dtype=bool)
     mid = log_average_miss_rate(tp2, conf, 10, 10)
     assert 0.2 < mid < 1.0
+
+
+def test_enable_compilation_cache(tmp_path, monkeypatch):
+    """Persistent-cache helper: sets the jax config knobs, honors the
+    MT_NO_COMPILATION_CACHE opt-out, and a jitted call writes an entry."""
+    import jax
+
+    from multispectral_object_detection_tpu.utils.general import (
+        enable_compilation_cache)
+
+    cache = tmp_path / "cc"
+    enable_compilation_cache(str(cache))
+    assert jax.config.jax_compilation_cache_dir == str(cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    @jax.jit
+    def f(x):
+        return (x @ x).sum()
+
+    float(f(jax.numpy.ones((64, 64))))
+    assert any(cache.iterdir())
+
+    # opt-out leaves config untouched
+    monkeypatch.setenv("MT_NO_COMPILATION_CACHE", "1")
+    enable_compilation_cache(str(tmp_path / "other"))
+    assert jax.config.jax_compilation_cache_dir == str(cache)
+
+    # restore defaults so later tests aren't affected
+    jax.config.update("jax_compilation_cache_dir", None)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
