@@ -39,6 +39,10 @@ def main():
                     help="in-train eval cadence (final epoch always evals)")
     ap.add_argument("--ckpt-every", type=int, default=50,
                     help="last-ckpt cadence (final epoch always saves)")
+    ap.add_argument("--seed", type=int, default=None,
+                    help="training seed (init/aug draws); same data either "
+                         "way. Re-run with a second seed to measure the "
+                         "outcome spread of the recipe at this scale.")
     args = ap.parse_args()
 
     out = Path(args.out)
@@ -47,7 +51,9 @@ def main():
     res = run_ours(out, data_yaml, args.cfg, args.epochs, args.batch,
                    args.img,
                    extra=("--eval-every", str(args.eval_every),
-                          "--ckpt-every", str(args.ckpt_every)))
+                          "--ckpt-every", str(args.ckpt_every),
+                          *(("--seed", str(args.seed))
+                            if args.seed is not None else ())))
     print(json.dumps({
         "cfg": args.cfg, "nc": args.nc, "epochs": args.epochs,
         "map50": float(res["map50"]), "map": float(res["map"]),
