@@ -53,8 +53,15 @@ def enable_compilation_cache(cache_dir: str = ""):
         # compiles expensive
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        # bound the cache: serialized flagship executables are large and the
+        # 1-core VM's disk is shared with checkpoints; LRU-evict past 4 GiB
+        jax.config.update("jax_compilation_cache_max_size", 4 * 2 ** 30)
     except Exception as e:  # pragma: no cover - version-dependent knobs
-        logging.info(f"compilation cache unavailable: {e}")
+        # WARNING via the module logger: bench/CLIs call this before any
+        # logging config, and a silently-disabled cache costs minutes per
+        # process start over the tunnel — make the failure visible
+        logging.getLogger(__name__).warning(
+            f"persistent compilation cache unavailable: {e}")
 
 
 def apply_device_arg(device: str):

@@ -56,28 +56,38 @@ def test_log_average_miss_rate():
 def test_enable_compilation_cache(tmp_path, monkeypatch):
     """Persistent-cache helper: sets the jax config knobs, honors the
     MT_NO_COMPILATION_CACHE opt-out, and a jitted call writes an entry."""
+    import secrets
+
     import jax
 
     from multispectral_object_detection_tpu.utils.general import (
         enable_compilation_cache)
 
     cache = tmp_path / "cc"
-    enable_compilation_cache(str(cache))
-    assert jax.config.jax_compilation_cache_dir == str(cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    # try/finally: a mid-test failure must not leave the persistent cache
+    # enabled with a 0 s threshold for every later jit in this process
+    try:
+        enable_compilation_cache(str(cache))
+        assert jax.config.jax_compilation_cache_dir == str(cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
-    @jax.jit
-    def f(x):
-        return (x @ x).sum()
+        # bake a unique constant into the program so this compile can't be
+        # served from the in-process executable cache (a plain 64x64 matmul
+        # may already be cached by earlier tests in the same run, which
+        # would skip the compile and never touch the persistent cache)
+        salt = secrets.randbits(31)
 
-    float(f(jax.numpy.ones((64, 64))))
-    assert any(cache.iterdir())
+        @jax.jit
+        def f(x):
+            return (x @ x).sum() + salt
 
-    # opt-out leaves config untouched
-    monkeypatch.setenv("MT_NO_COMPILATION_CACHE", "1")
-    enable_compilation_cache(str(tmp_path / "other"))
-    assert jax.config.jax_compilation_cache_dir == str(cache)
+        float(f(jax.numpy.ones((64, 64))))
+        assert any(cache.iterdir())
 
-    # restore defaults so later tests aren't affected
-    jax.config.update("jax_compilation_cache_dir", None)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        # opt-out leaves config untouched
+        monkeypatch.setenv("MT_NO_COMPILATION_CACHE", "1")
+        enable_compilation_cache(str(tmp_path / "other"))
+        assert jax.config.jax_compilation_cache_dir == str(cache)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
