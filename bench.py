@@ -66,7 +66,10 @@ def watchdog(seconds: int, stage: str):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
-    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--iters", type=int, default=32,
+                    help="32 -> 24 marginal iters (~0.8 s of device time at "
+                         "bs16): quarters the ±2%% session scatter the old "
+                         "8-iter window showed (PERF.md round 5)")
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--img", type=int, default=640)
     ap.add_argument("--scale", type=str, default="l")
@@ -78,6 +81,10 @@ def main():
                     help="weights-only int8: conv/dense kernels stored "
                          "int8 + per-channel scale, dequantized to bf16 "
                          "inside the jit (models/quantize.py)")
+    ap.add_argument("--tta", action="store_true",
+                    help="test-time augmentation (3 scales + flip, "
+                         "train/tta.py) inside the jit — measures the cost "
+                         "of the --augment eval/detect surface")
     ap.add_argument("--pallas-c3", action="store_true",
                     help="route square-channel C3 bottlenecks through the "
                          "fused Pallas kernel (ops/pallas_c3.py)")
@@ -143,9 +150,14 @@ def main():
             params = dequantize_int8(params, jnp.bfloat16)
         x = rgb_u8.astype(jnp.float32) / 255.0
         x2 = ir_u8.astype(jnp.float32) / 255.0
-        feats = fused_model.apply({"params": params, "batch_stats": {}},
-                                  x, x2, train=False)
-        dets = fused_model.decode(feats)
+        if args.tta:
+            from multispectral_object_detection_tpu.train.tta import (
+                tta_forward)
+            dets = tta_forward(fused_model, params, {}, x, x2)
+        else:
+            feats = fused_model.apply({"params": params, "batch_stats": {}},
+                                      x, x2, train=False)
+            dets = fused_model.decode(feats)
         if use_nms:
             return batched_nms(dets, conf_thres=0.25, iou_thres=0.45,
                                multi_label=False, max_det=300, top_k=1024)
@@ -181,8 +193,10 @@ def main():
     log(f"{n_diff} marginal iters x bs{args.batch} in {dt:.3f}s "
         f"-> {pairs_per_sec:.1f} pairs/s")
 
+    metric = (f"cft_{args.scale}_{args.img}_dual_stream_inference"
+              f"{'_tta' if args.tta else ''}_pairs_per_sec_per_chip")
     print(json.dumps({
-        "metric": "cft_l_640_dual_stream_inference_pairs_per_sec_per_chip",
+        "metric": metric,
         "value": round(pairs_per_sec, 2),
         "unit": "image-pairs/s",
         "vs_baseline": round(pairs_per_sec / 375.0, 3),
