@@ -178,22 +178,43 @@ def build_affine_matrix(width: int, height: int, *, degrees: float = 0.0,
 
 
 def warp_labels(labels: np.ndarray, M: np.ndarray, s: float,
-                out_wh: Tuple[int, int], perspective: float = 0.0) -> np.ndarray:
+                out_wh: Tuple[int, int], perspective: float = 0.0,
+                segments: Sequence[np.ndarray] = ()) -> np.ndarray:
     """Apply the warp to [cls, xyxy] labels + candidates filter
-    (datasets.py:1875-1914)."""
+    (datasets.py:1875-1914).
+
+    With per-row pixel `segments` (one (k, 2) polygon per label row), boxes
+    are re-derived by warping the resampled polygon points and taking the
+    inside-image extent (datasets.py:1786-1796) — tighter than warping box
+    corners — with the reference's looser area_thr 0.01. Segments are used
+    only when row-aligned (len == n) and non-empty; the reference silently
+    zeroes trailing boxes when formats are mixed within one mosaic."""
+    from ..ops.boxes import resample_segments, segment2box
+
     n = len(labels)
     if n == 0:
         return labels
-    xy = np.ones((n * 4, 3))
-    xy[:, :2] = labels[:, [1, 2, 3, 4, 1, 4, 3, 2]].reshape(n * 4, 2)  # corners
-    xy = xy @ M.T
-    xy = (xy[:, :2] / xy[:, 2:3] if perspective else xy[:, :2]).reshape(n, 8)
-    x = xy[:, [0, 2, 4, 6]]
-    y = xy[:, [1, 3, 5, 7]]
-    new = np.stack([x.min(1), y.min(1), x.max(1), y.max(1)], axis=1)
-    new[:, [0, 2]] = new[:, [0, 2]].clip(0, out_wh[0])
-    new[:, [1, 3]] = new[:, [1, 3]].clip(0, out_wh[1])
-    keep = _box_candidates(labels[:, 1:5].T * s, new.T)
+    use_segments = len(segments) == n and any(len(sg) for sg in segments)
+    if use_segments:
+        new = np.zeros((n, 4), dtype=np.float32)
+        for i, seg in enumerate(resample_segments(list(segments))):
+            xy = np.ones((len(seg), 3))
+            xy[:, :2] = seg
+            xy = xy @ M.T
+            xy = xy[:, :2] / xy[:, 2:3] if perspective else xy[:, :2]
+            new[i] = segment2box(xy, out_wh[0], out_wh[1])
+    else:
+        xy = np.ones((n * 4, 3))
+        xy[:, :2] = labels[:, [1, 2, 3, 4, 1, 4, 3, 2]].reshape(n * 4, 2)  # corners
+        xy = xy @ M.T
+        xy = (xy[:, :2] / xy[:, 2:3] if perspective else xy[:, :2]).reshape(n, 8)
+        x = xy[:, [0, 2, 4, 6]]
+        y = xy[:, [1, 3, 5, 7]]
+        new = np.stack([x.min(1), y.min(1), x.max(1), y.max(1)], axis=1)
+        new[:, [0, 2]] = new[:, [0, 2]].clip(0, out_wh[0])
+        new[:, [1, 3]] = new[:, [1, 3]].clip(0, out_wh[1])
+    keep = _box_candidates(labels[:, 1:5].T * s, new.T,
+                           area_thr=0.01 if use_segments else 0.10)
     out = labels[keep].copy()
     out[:, 1:5] = new[keep]
     return out
@@ -204,6 +225,7 @@ def random_affine_pair(im_rgb: np.ndarray, im_ir: np.ndarray,
                        translate: float = 0.1, scale: float = 0.5,
                        shear: float = 0.0, perspective: float = 0.0,
                        border: Tuple[int, int] = (0, 0),
+                       segments: Sequence[np.ndarray] = (),
                        rng: Optional[random.Random] = None):
     """One sampled warp applied to BOTH modalities (datasets.py:1860-1869)."""
     height, width = im_rgb.shape[0], im_rgb.shape[1]
@@ -222,7 +244,8 @@ def random_affine_pair(im_rgb: np.ndarray, im_ir: np.ndarray,
                                     borderValue=PAD_COLOR)
             im_ir = cv2.warpAffine(im_ir, M[:2], dsize=(out_w, out_h),
                                    borderValue=PAD_COLOR)
-    labels = warp_labels(labels, M, s, (out_w, out_h), perspective)
+    labels = warp_labels(labels, M, s, (out_w, out_h), perspective,
+                         segments=segments)
     return im_rgb, im_ir, labels
 
 
@@ -230,10 +253,14 @@ def mosaic4_pair(load_fn, indices: Sequence[int], img_size: int,
                  hyp: dict, rng: Optional[random.Random] = None):
     """Paired 4-tile mosaic (datasets.py:1464-1603).
 
-    load_fn(i) -> (rgb, ir, labels_xywhn) where labels are [cls,x,y,w,h]
-    normalized to the loaded image. Returns (rgb, ir, labels_xyxy) at
-    img_size x img_size after the shared affine crop.
+    load_fn(i) -> (rgb, ir, labels_xywhn[, segments]) where labels are
+    [cls,x,y,w,h] normalized to the loaded image and segments (optional) a
+    per-row list of normalized (k, 2) polygons (datasets.py:1536-1546).
+    Returns (rgb, ir, labels_xyxy) at img_size x img_size after the shared
+    affine crop; segment rows are warped point-wise (see warp_labels).
     """
+    from ..ops.boxes import xyn2xy
+
     rng = rng or random
     s = img_size
     yc = int(rng.uniform(s // 2, 2 * s - s // 2))
@@ -241,9 +268,12 @@ def mosaic4_pair(load_fn, indices: Sequence[int], img_size: int,
     canvas_rgb = np.full((s * 2, s * 2, 3), 114, dtype=np.uint8)
     canvas_ir = np.full((s * 2, s * 2, 3), 114, dtype=np.uint8)
     all_labels: List[np.ndarray] = []
+    all_segments: List[np.ndarray] = []
 
     for i, idx in enumerate(indices):
-        rgb, ir, labels = load_fn(idx)
+        loaded = load_fn(idx)
+        rgb, ir, labels = loaded[:3]
+        segs = loaded[3] if len(loaded) > 3 else []
         h, w = rgb.shape[:2]
         if i == 0:  # top-left
             x1a, y1a, x2a, y2a = max(xc - w, 0), max(yc - h, 0), xc, yc
@@ -270,17 +300,22 @@ def mosaic4_pair(load_fn, indices: Sequence[int], img_size: int,
             lab_xyxy[:, 3] = w * (lab[:, 1] + lab[:, 3] / 2) + padw
             lab_xyxy[:, 4] = h * (lab[:, 2] + lab[:, 4] / 2) + padh
             all_labels.append(lab_xyxy)
+            # normalized polygons -> canvas pixels with the same tile
+            # offset (datasets.py:1441-1445)
+            all_segments.extend(xyn2xy(sg, w, h, padw, padh) for sg in segs)
 
     labels = (np.concatenate(all_labels, 0) if all_labels
               else np.zeros((0, 5), dtype=np.float32))
     labels[:, 1:5] = labels[:, 1:5].clip(0, 2 * s)
+    for sg in all_segments:
+        np.clip(sg, 0, 2 * s, out=sg)  # datasets.py:1449-1452
 
     return random_affine_pair(
         canvas_rgb, canvas_ir, labels,
         degrees=hyp.get("degrees", 0.0), translate=hyp.get("translate", 0.1),
         scale=hyp.get("scale", 0.5), shear=hyp.get("shear", 0.0),
         perspective=hyp.get("perspective", 0.0),
-        border=(-s // 2, -s // 2), rng=rng)
+        border=(-s // 2, -s // 2), segments=all_segments, rng=rng)
 
 
 def mosaic9_pair(load_fn, indices: Sequence[int], img_size: int,
@@ -292,14 +327,19 @@ def mosaic9_pair(load_fn, indices: Sequence[int], img_size: int,
     each anchored to the previous tile's extent, then a random 2s x 2s crop
     is taken and the shared affine applied.
     """
+    from ..ops.boxes import xyn2xy
+
     rng = rng or random
     s = img_size
     canvas_rgb = canvas_ir = None
     all_labels: List[np.ndarray] = []
+    all_segments: List[np.ndarray] = []
     h0 = w0 = hp = wp = 0
 
     for i, idx in enumerate(indices):
-        rgb, ir, labels = load_fn(idx)
+        loaded = load_fn(idx)
+        rgb, ir, labels = loaded[:3]
+        segs = loaded[3] if len(loaded) > 3 else []
         h, w = rgb.shape[:2]
         if i == 0:    # center
             canvas_rgb = np.full((s * 3, s * 3, 3), 114, dtype=np.uint8)
@@ -336,6 +376,7 @@ def mosaic9_pair(load_fn, indices: Sequence[int], img_size: int,
             out[:, 3] = w * (lab[:, 1] + lab[:, 3] / 2) + padx
             out[:, 4] = h * (lab[:, 2] + lab[:, 4] / 2) + pady
             all_labels.append(out)
+            all_segments.extend(xyn2xy(sg, w, h, padx, pady) for sg in segs)
         hp, wp = h, w
 
     yc = int(rng.uniform(0, s))
@@ -348,13 +389,17 @@ def mosaic9_pair(load_fn, indices: Sequence[int], img_size: int,
         labels[:, [1, 3]] -= xc
         labels[:, [2, 4]] -= yc
     labels[:, 1:5] = labels[:, 1:5].clip(0, 2 * s)
+    for sg in all_segments:
+        sg[:, 0] -= xc  # crop offset (datasets.py:1663-1667)
+        sg[:, 1] -= yc
+        np.clip(sg, 0, 2 * s, out=sg)
 
     return random_affine_pair(
         canvas_rgb, canvas_ir, labels,
         degrees=hyp.get("degrees", 0.0), translate=hyp.get("translate", 0.1),
         scale=hyp.get("scale", 0.5), shear=hyp.get("shear", 0.0),
         perspective=hyp.get("perspective", 0.0),
-        border=(-s // 2, -s // 2), rng=rng)
+        border=(-s // 2, -s // 2), segments=all_segments, rng=rng)
 
 
 def hist_equalize(im: np.ndarray, clahe: bool = True) -> np.ndarray:

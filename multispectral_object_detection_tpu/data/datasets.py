@@ -20,6 +20,7 @@ for an XLA consumer:
 from __future__ import annotations
 
 import hashlib
+import logging
 import os
 import random
 from pathlib import Path
@@ -65,24 +66,183 @@ def image_to_label_path(img_path: str) -> str:
     return os.path.splitext(stem)[0] + ".txt"
 
 
-def read_label_file(path: str, nc: Optional[int] = None) -> np.ndarray:
-    """YOLO txt -> (n, 5) [cls, x, y, w, h] normalized; validates like
-    datasets.py:1103-1121."""
+def read_label_file(path: str, nc: Optional[int] = None,
+                    with_segments: bool = False):
+    """YOLO txt -> (n, 5) [cls, x, y, w, h] normalized (+ segment list).
+
+    Box rows have exactly 5 columns. Polygon-segment rows (cls followed by
+    >=4 xy pairs, i.e. >8 columns) switch the whole file to segment format:
+    each row's points are reduced to a bounding box via segments2boxes,
+    exactly like the reference cache scan (datasets.py:1111-1115).
+    Validation mirrors datasets.py:1116-1120 incl. the duplicate-row check;
+    failures raise — the corrupt-tolerant `scan_dataset` downgrades them to
+    warn-and-skip. With with_segments=True returns (labels, segments) where
+    segments is a per-row list of (k, 2) normalized xy arrays (empty for
+    box-format files).
+    """
+    from ..ops.boxes import segments2boxes
+
+    empty = np.zeros((0, 5), dtype=np.float32)
     if not os.path.isfile(path):
-        return np.zeros((0, 5), dtype=np.float32)
-    rows = []
-    for line in Path(path).read_text().splitlines():
-        vals = line.split()
-        if len(vals) >= 5:
-            rows.append([float(v) for v in vals[:5]])
+        return (empty, []) if with_segments else empty
+    rows = [ln.split() for ln in Path(path).read_text().strip().splitlines()
+            if ln.strip()]
+    segments: List[np.ndarray] = []
     if not rows:
-        return np.zeros((0, 5), dtype=np.float32)
-    lab = np.asarray(rows, dtype=np.float32)
-    assert (lab >= 0).all(), f"negative label values in {path}"
-    assert (lab[:, 1:] <= 1).all(), f"non-normalized coordinates in {path}"
-    if nc is not None:
-        assert (lab[:, 0] < nc).all(), f"label class exceeds nc={nc} in {path}"
-    return lab
+        lab = empty
+    elif any(len(r) > 8 for r in rows):  # segment format (datasets.py:1112)
+        classes = np.array([r[0] for r in rows], dtype=np.float32)
+        segments = [np.array(r[1:], dtype=np.float32).reshape(-1, 2)
+                    for r in rows]
+        lab = np.concatenate(
+            (classes.reshape(-1, 1), segments2boxes(segments)), 1)
+    else:
+        assert all(len(r) == 5 for r in rows), \
+            f"labels require 5 columns each: {path}"
+        lab = np.asarray(rows, dtype=np.float32)
+    if len(lab):
+        assert (lab >= 0).all(), f"negative label values in {path}"
+        assert (lab[:, 1:] <= 1).all(), f"non-normalized coordinates in {path}"
+        assert np.unique(lab, axis=0).shape[0] == lab.shape[0], \
+            f"duplicate labels in {path}"
+        if nc is not None:
+            assert (lab[:, 0] < nc).all(), \
+                f"label class exceeds nc={nc} in {path}"
+    return (lab, segments) if with_segments else lab
+
+
+IMG_FORMATS = {"bmp", "jpg", "jpeg", "png", "tif", "tiff", "dng", "webp",
+               "mpo"}  # reference datasets.py:33
+_EXIF_ORIENTATION = 274
+
+
+def exif_size(im) -> Tuple[int, int]:
+    """EXIF-rotation-corrected PIL (w, h) (reference datasets.py:89-101)."""
+    s = im.size
+    try:
+        rot = dict(im._getexif().items()).get(_EXIF_ORIENTATION)
+        if rot in (6, 8):  # 270 / 90 degrees
+            s = (s[1], s[0])
+    except Exception:
+        pass
+    return s
+
+
+def scan_dataset(img_files: Sequence[str],
+                 label_files: Optional[Sequence[str]] = None,
+                 nc: Optional[int] = None, *, with_labels: bool = True,
+                 prefix: str = ""):
+    """Corrupt-tolerant dataset scan (reference datasets.py:1090-1131).
+
+    Verifies every image (PIL-decodable, EXIF-corrected size >= 10 px,
+    format whitelist) and parses/validates its label file, WARNING and
+    SKIPPING corrupt entries instead of raising — one truncated JPEG in a
+    100k-image dataset must not kill the run. Returns a dict:
+        keep      (n,) bool — entries that survived
+        labels    list over ALL entries of (k, 5) float32 (empty if dropped)
+        segments  list over ALL entries of per-row normalized (m, 2) arrays
+        shapes    (n, 2) float64 original (h, w); zeros for dropped entries
+        counters  {found, missing, empty, corrupt}
+    """
+    from PIL import Image
+
+    logger = logging.getLogger(__name__)
+    if with_labels and label_files is None:
+        label_files = [image_to_label_path(p) for p in img_files]
+    n = len(img_files)
+    keep = np.zeros(n, dtype=bool)
+    labels: List[np.ndarray] = []
+    segments: List[List[np.ndarray]] = []
+    shapes = np.zeros((n, 2), dtype=np.float64)
+    nf = nm = ne = ncorr = 0
+    for i, im_file in enumerate(img_files):
+        lab, segs = np.zeros((0, 5), dtype=np.float32), []
+        try:
+            with Image.open(im_file) as im:
+                im.verify()  # PIL integrity check
+                w, h = exif_size(im)
+                fmt = (im.format or "").lower()
+            assert w > 9 and h > 9, f"image size {(w, h)} <10 pixels"
+            assert fmt in IMG_FORMATS, f"invalid image format {fmt}"
+            if with_labels:
+                if os.path.isfile(label_files[i]):
+                    nf += 1
+                    lab, segs = read_label_file(label_files[i], nc,
+                                                with_segments=True)
+                    if not len(lab):
+                        ne += 1
+                else:
+                    nm += 1
+            keep[i] = True
+            shapes[i] = (h, w)
+        except Exception as e:
+            ncorr += 1
+            lab, segs = np.zeros((0, 5), dtype=np.float32), []
+            logger.warning(
+                f"{prefix}ignoring corrupt image and/or label {im_file}: {e}")
+        labels.append(lab)
+        segments.append(segs)
+    counters = {"found": nf, "missing": nm, "empty": ne, "corrupt": ncorr}
+    return {"keep": keep, "labels": labels, "segments": segments,
+            "shapes": shapes, "counters": counters}
+
+
+def scan_pair_cached(rgb_files: Sequence[str],
+                     ir_files: Optional[Sequence[str]] = None,
+                     cache_dir: Optional[str] = None,
+                     nc: Optional[int] = None):
+    """scan_dataset over an RGB(+IR) pair list with an .npz cache.
+
+    Labels come from the RGB annotations (datasets.py:1211-1216); IR images
+    are integrity-verified too, and a pair is dropped if EITHER side is
+    corrupt (the reference scans each modality's cache independently, which
+    can silently desync the pairing — here alignment is preserved by
+    construction). Cache key: md5 over paths + file sizes, like the label
+    cache (datasets.py:84-101).
+    """
+    import json as _json
+
+    logger = logging.getLogger(__name__)
+    label_files = [image_to_label_path(p) for p in rgb_files]
+    key = _files_hash(list(rgb_files) + label_files + list(ir_files or []))
+    cache_path = None
+    if cache_dir:
+        cache_path = Path(cache_dir) / f"scan_{key[:16]}.npz"
+        if cache_path.is_file():
+            z = np.load(cache_path, allow_pickle=True)
+            if str(z.get("hash")) == key:
+                res = {"keep": z["keep"],
+                       "labels": list(z["labels"]),
+                       "segments": [list(s) for s in z["segments"]],
+                       "shapes": z["shapes"],
+                       "counters": _json.loads(str(z["counters"]))}
+                _log_scan(res["counters"], len(rgb_files), logger,
+                          cached=True)
+                return res
+    res = scan_dataset(rgb_files, label_files, nc)
+    if ir_files is not None:
+        ir_scan = scan_dataset(ir_files, with_labels=False)
+        res["keep"] &= ir_scan["keep"]
+        res["counters"]["corrupt"] += int(ir_scan["counters"]["corrupt"])
+    _log_scan(res["counters"], len(rgb_files), logger, cached=False)
+    if cache_path is not None:
+        cache_path.parent.mkdir(parents=True, exist_ok=True)
+        lab_arr = np.empty(len(res["labels"]), dtype=object)
+        seg_arr = np.empty(len(res["segments"]), dtype=object)
+        for i in range(len(res["labels"])):
+            lab_arr[i] = res["labels"][i]
+            seg_arr[i] = res["segments"][i]
+        np.savez(cache_path, hash=key, keep=res["keep"], labels=lab_arr,
+                 segments=seg_arr, shapes=res["shapes"],
+                 counters=_json.dumps(res["counters"]))
+    return res
+
+
+def _log_scan(c: dict, total: int, logger, cached: bool):
+    msg = (f"dataset scan{' (cached)' if cached else ''}: "
+           f"{c['found']} found, {c['missing']} missing, {c['empty']} empty, "
+           f"{c['corrupt']} corrupt of {total} images")
+    (logger.warning if c["corrupt"] else logger.info)(msg)
 
 
 def _files_hash(paths: Sequence[str]) -> str:
@@ -141,7 +301,22 @@ class PairedDetectionDataset:
         self.img_size = img_size
         self.augment = augment
         self.hyp = dict(hyp or {})
-        self.labels = load_labels_cached(self.rgb_files, cache_dir, nc)
+        # corrupt-tolerant scan (reference datasets.py:1090-1131): verify
+        # images, parse labels (+polygon segments), warn-and-skip bad pairs
+        scan = scan_pair_cached(self.rgb_files, self.ir_files, cache_dir, nc)
+        keep = scan["keep"]
+        if not keep.all():
+            kept = [i for i in range(len(self.rgb_files)) if keep[i]]
+            assert kept, "dataset scan dropped every image as corrupt"
+            self.rgb_files = [self.rgb_files[i] for i in kept]
+            if self.ir_files is not None:
+                self.ir_files = [self.ir_files[i] for i in kept]
+        else:
+            kept = list(range(len(self.rgb_files)))
+        self.labels = [scan["labels"][i] for i in kept]
+        self.segments = [scan["segments"][i] for i in kept]
+        self.shapes = scan["shapes"][kept]
+        self.scan_counters = scan["counters"]
         self.pad = pad
         self.scaleup_eval = scaleup_eval
         # rect training disables mosaic, not augmentation (reference:
@@ -157,23 +332,12 @@ class PairedDetectionDataset:
         if self.rect:
             self._setup_rect()
 
-    def _image_shapes(self) -> np.ndarray:
-        """(n, 2) original (h, w) per image, header-only reads."""
-        from PIL import Image
-
-        shapes = []
-        for p in self.rgb_files:
-            with Image.open(p) as im:
-                w, h = im.size
-            shapes.append((h, w))
-        return np.asarray(shapes, dtype=np.float64)
-
     def _setup_rect(self, batch_size: int = 32):
         """Aspect-ratio bucketing (reference datasets.py:596-617): images are
         sorted by h/w; each batch's canvas is the minimal stride-multiple
         rectangle (with `pad` slack) covering its aspect range. Shapes are
         quantized to the stride so XLA compiles only a handful of programs."""
-        s = self._image_shapes()
+        s = np.asarray(self.shapes, dtype=np.float64)  # scan (h, w)
         ar = s[:, 0] / s[:, 1]  # h / w
         order = np.argsort(ar)
         n = len(order)
@@ -212,7 +376,7 @@ class PairedDetectionDataset:
     def _load_pair(self, i: int):
         if self.cache_images and i in self._img_cache:
             rgb, ir, hw0 = self._img_cache[i]
-            return rgb, ir, self.labels[i], hw0
+            return rgb, ir, self.labels[i], self.segments[i], hw0
         if self.ir_files is None:
             rgb, hw0 = load_scaled(self.rgb_files[i], self.img_size)
             ir = rgb
@@ -221,7 +385,7 @@ class PairedDetectionDataset:
                                             self.ir_files[i], self.img_size)
         if self.cache_images:
             self._img_cache[i] = (rgb, ir, hw0)
-        return rgb, ir, self.labels[i], hw0
+        return rgb, ir, self.labels[i], self.segments[i], hw0
 
     # -- main sample assembly -------------------------------------------------
     def get_tile(self, i: int):
@@ -229,7 +393,7 @@ class PairedDetectionDataset:
         (ops/augment_device.py): decode + letterbox to a square s x s tile,
         labels renormalized to the tile canvas. No host-side randomness."""
         s = self.img_size
-        rgb0, ir0, lab, _ = self._load_pair(i)
+        rgb0, ir0, lab, _segs, _ = self._load_pair(i)
         h, w = rgb0.shape[:2]
         rgb, ratio, padwh = letterbox(rgb0, (s, s), auto=False, scaleup=True)
         ir, _, _ = letterbox(ir0, (s, s), auto=False, scaleup=True)
@@ -252,14 +416,14 @@ class PairedDetectionDataset:
         if use_mosaic:
             idxs = [i] + [rng.randint(0, len(self) - 1) for _ in range(3)]
             rgb, ir, lab_xyxy = mosaic4_pair(
-                lambda j: self._load_pair(j)[:3], idxs, s, hyp, rng)
+                lambda j: self._load_pair(j)[:4], idxs, s, hyp, rng)
             # mixup: single-modality only, like the reference (multimodal
             # mixup is disabled at datasets.py:1179-1185)
             if (self.ir_files is None
                     and rng.random() < hyp.get("mixup", 0.0)):
                 idxs2 = [rng.randint(0, len(self) - 1) for _ in range(4)]
                 rgb2, _, lab2 = mosaic4_pair(
-                    lambda j: self._load_pair(j)[:3], idxs2, s, hyp, rng)
+                    lambda j: self._load_pair(j)[:4], idxs2, s, hyp, rng)
                 # deterministic under the per-epoch seeded rng (the global
                 # np.random would break the loader's reproducibility contract)
                 r = rng.betavariate(32.0, 32.0)
@@ -269,7 +433,9 @@ class PairedDetectionDataset:
                 lab_xyxy = np.concatenate([lab_xyxy, lab2], 0)
             shape_info = ((s, s), ((1.0, 1.0), (0.0, 0.0)))
         else:
-            rgb0, ir0, lab, hw0 = self._load_pair(i)
+            # segments are mosaic-only, like the reference (the non-mosaic
+            # random_perspective call passes none, datasets.py:739-745)
+            rgb0, ir0, lab, _segs, hw0 = self._load_pair(i)
             h, w = rgb0.shape[:2]
             canvas = (self.rect_shape[int(i)] if self.rect
                       else (s, s))  # rect: per-bucket rectangle (pad 0.5)

@@ -148,3 +148,58 @@ def pairwise_wh_iou(wh1, wh2):
     a1 = jnp.prod(wh1, axis=-1)[..., :, None]
     a2 = jnp.prod(wh2, axis=-1)[..., None, :]
     return inter / (a1 + a2 - inter)
+
+
+# ---------------------------------------------------------------------------
+# Polygon-segment labels (reference: utils/general.py:318-354)
+#
+# Host-side numpy: segments exist only in the data pipeline (label parsing
+# and mosaic warp, utils/datasets.py:1111-1115, 1441-1445, 1786-1796); the
+# device never sees them — they are reduced to boxes before collation.
+# ---------------------------------------------------------------------------
+
+
+def xyn2xy(seg: np.ndarray, w: float, h: float,
+           padw: float = 0.0, padh: float = 0.0) -> np.ndarray:
+    """Normalized segment points (n, 2) -> pixel points (general.py:318-325)."""
+    out = np.copy(seg).astype(np.float32)
+    out[:, 0] = w * seg[:, 0] + padw
+    out[:, 1] = h * seg[:, 1] + padh
+    return out
+
+
+def segment2box(seg: np.ndarray, width: float = 640,
+                height: float = 640) -> np.ndarray:
+    """One pixel segment (n, 2) -> one xyxy box over the points inside the
+    image; all-outside segments give a zero box (general.py:327-332)."""
+    x, y = seg.T
+    inside = (x >= 0) & (y >= 0) & (x <= width) & (y <= height)
+    x, y = x[inside], y[inside]
+    if not x.size:
+        return np.zeros(4, dtype=np.float32)
+    return np.array([x.min(), y.min(), x.max(), y.max()], dtype=np.float32)
+
+
+def segments2boxes(segments) -> np.ndarray:
+    """Segment list [(n_i, 2) xy] -> (N, 4) xywh boxes (general.py:335-343).
+    Used at label-parse time to reduce polygon rows to box targets."""
+    if not len(segments):
+        return np.zeros((0, 4), dtype=np.float32)
+    boxes = np.array([[s[:, 0].min(), s[:, 1].min(),
+                       s[:, 0].max(), s[:, 1].max()] for s in segments],
+                     dtype=np.float32)
+    return np.asarray(xyxy_to_xywh(boxes))
+
+
+def resample_segments(segments, n: int = 1000):
+    """Up-sample each (k, 2) segment to (n, 2) by per-axis linear
+    interpolation over the vertex index (general.py:346-354). Returns a new
+    list; inputs are not mutated (the reference mutates in place)."""
+    out = []
+    for s in segments:
+        s = np.asarray(s, dtype=np.float32)
+        x = np.linspace(0, len(s) - 1, n)
+        xp = np.arange(len(s))
+        out.append(np.stack([np.interp(x, xp, s[:, i])
+                             for i in range(2)], axis=1).astype(np.float32))
+    return out
