@@ -51,6 +51,9 @@ def main():
                     help="measured throughput from bench.py; 0 = only "
                          "print FLOPs/pair")
     ap.add_argument("--peak", type=float, default=V5E_PEAK_BF16)
+    ap.add_argument("--tta", action="store_true",
+                    help="cost-analyze the 3-scale+flip TTA forward "
+                         "(train/tta.py) instead of the plain forward")
     ap.add_argument("--train", action="store_true",
                     help="cost-analyze the full train step instead of the "
                          "inference forward")
@@ -81,11 +84,25 @@ def main():
         jax.random.PRNGKey(0),
         jnp.zeros((1, args.img, args.img, 3), jnp.float32),
         jnp.zeros((1, args.img, args.img, 3), jnp.float32))["params"]
-    flops = estimate_flops(model, params, args.img)
+    if args.tta:
+        from multispectral_object_detection_tpu.train.tta import tta_forward
+
+        x = jnp.zeros((1, args.img, args.img, 3), jnp.float32)
+        shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), x, x)
+        stats = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                             shapes.get("batch_stats", {}))
+        lowered = jax.jit(lambda a, b: tta_forward(
+            model, params, stats, a, b)).lower(x, x)
+        cost = lowered.cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0)) if cost else None
+    else:
+        flops = estimate_flops(model, params, args.img)
     if flops is None:
         print(json.dumps({"error": "cost analysis unavailable"}))
         return 1
-    out = {"cfg": args.cfg, "img": args.img,
+    out = {"cfg": args.cfg, "img": args.img, "tta": bool(args.tta),
            "gflops_per_pair": round(flops / 1e9, 2)}
     if args.pairs_per_s:
         out["pairs_per_s"] = args.pairs_per_s

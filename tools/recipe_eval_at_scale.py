@@ -78,6 +78,9 @@ def main():
     ap.add_argument("--nc", type=int, default=2)
     ap.add_argument("--ckpt", type=str, default="last",
                     help="which of our checkpoints to score (last|best)")
+    ap.add_argument("--ours-dirs", nargs="+", default=["ours"],
+                    help="run subdirectories holding independent ours legs "
+                         "(e.g. 'ours ours_seed0' for a two-seed spread)")
     args = ap.parse_args()
 
     run = Path(args.run)
@@ -91,22 +94,26 @@ def main():
     print(f"REF-trained (imported {n_c}/{n_t}): mAP50 {ref['map50']:.4f} "
           f"mAP75 {ref['map75']:.4f} mAP {ref['map']:.4f}")
 
-    ours = eval_ours_ckpt(run / "ours" / "run" / args.ckpt, data_yaml,
-                          args.cfg, args.batch, args.img)
-    print(f"OURS-trained ({args.ckpt} EMA):     mAP50 {ours['map50']:.4f} "
-          f"mAP75 {ours['map75']:.4f} mAP {ours['map']:.4f}")
-
-    d50 = (ours["map50"] - ref["map50"]) * 100
-    dm = (ours["map"] - ref["map"]) * 100
-    print(f"RECIPE DELTA (ours - ref, one evaluator, n_val={args.n_val}): "
-          f"mAP50 {d50:+.2f} pt   mAP(0.5:0.95) {dm:+.2f} pt")
-
     def _f(d):
         return {k: float(v) for k, v in d.items()
                 if isinstance(v, (int, float, np.floating))}
 
+    ours_all = {}
+    for sub in args.ours_dirs:
+        ours = eval_ours_ckpt(run / sub / "run" / args.ckpt, data_yaml,
+                              args.cfg, args.batch, args.img)
+        ours_all[sub] = _f(ours)
+        print(f"OURS-trained ({sub}/{args.ckpt} EMA): "
+              f"mAP50 {ours['map50']:.4f} "
+              f"mAP75 {ours['map75']:.4f} mAP {ours['map']:.4f}")
+        d50 = (ours["map50"] - ref["map50"]) * 100
+        dm = (ours["map"] - ref["map"]) * 100
+        print(f"RECIPE DELTA [{sub}] (ours - ref, one evaluator, "
+              f"n_val={args.n_val}): "
+              f"mAP50 {d50:+.2f} pt   mAP(0.5:0.95) {dm:+.2f} pt")
+
     (out / "summary.json").write_text(json.dumps(
-        dict(ref=_f(ref), ours=_f(ours), n_val=args.n_val, img=args.img,
+        dict(ref=_f(ref), ours=ours_all, n_val=args.n_val, img=args.img,
              cfg=args.cfg, ckpt=args.ckpt)))
 
 
