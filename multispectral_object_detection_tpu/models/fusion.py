@@ -148,7 +148,8 @@ class CrossModalFusion(nn.Module):
                 proj_w.astype(self.dtype), proj_b.astype(self.dtype),
                 fc1_w.astype(self.dtype), fc1_b.astype(self.dtype),
                 fc2_w.astype(self.dtype), fc2_b.astype(self.dtype),
-                ln1, ln2, num_heads=self.num_heads)
+                ln1, ln2, num_heads=self.num_heads,
+                interpret=jax.default_backend() != "tpu")
         else:
             x = self._scan_stack(x, ln1, qkv_w, qkv_b, proj_w, proj_b, ln2,
                                  fc1_w, fc1_b, fc2_w, fc2_b, train)

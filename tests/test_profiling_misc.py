@@ -59,6 +59,7 @@ def test_enable_compilation_cache(tmp_path, monkeypatch):
     import secrets
 
     import jax
+    from jax.experimental.compilation_cache import compilation_cache as cc
 
     from multispectral_object_detection_tpu.utils.general import (
         enable_compilation_cache)
@@ -68,6 +69,11 @@ def test_enable_compilation_cache(tmp_path, monkeypatch):
     # enabled with a 0 s threshold for every later jit in this process
     try:
         enable_compilation_cache(str(cache))
+        # jax initializes its persistent-cache object once and ignores
+        # later jax_compilation_cache_dir updates; earlier CLI tests in
+        # the same process already pointed it at ~/.cache/mt_jax_cache,
+        # so force re-initialization at the tmp dir
+        cc.reset_cache()
         assert jax.config.jax_compilation_cache_dir == str(cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
@@ -91,3 +97,5 @@ def test_enable_compilation_cache(tmp_path, monkeypatch):
     finally:
         jax.config.update("jax_compilation_cache_dir", None)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        # drop the cache object pinned to the (soon-deleted) tmp dir
+        cc.reset_cache()
