@@ -144,10 +144,20 @@ class DetectionModel(nn.Module):
                                           self.use_pallas_c3))
         self.blocks = mods
 
-    def __call__(self, x, x2=None, train: bool = False):
+    def __call__(self, x, x2=None, train: bool = False,
+                 tap_index: Optional[int] = None, tap=None):
+        """Run the graph. With ``tap_index`` set, also returns the activation
+        at that node as ``(output, activation)``; a non-None ``tap`` array is
+        ADDED to that activation before downstream layers consume it. A zero
+        tap is a no-op forward whose gradient w.r.t. ``tap`` is the gradient
+        w.r.t. the intermediate activation — the hook Grad-CAM rides
+        (utils/gradcam.py, the working version of reference utils/gradcam.py).
+        ``tap_index`` is a Python int, so it is static under jit.
+        """
         if self.spec.two_stream and x2 is None:
             raise ValueError("two-stream model needs both RGB and IR inputs")
         saved = {}
+        tapped = None
         cur = x.astype(self.dtype)
         x2 = None if x2 is None else x2.astype(self.dtype)
         for node, mod in zip(self.spec.nodes, self.blocks):
@@ -166,8 +176,18 @@ class DetectionModel(nn.Module):
                 cur = nn.remat(block)(self, inp)
             else:
                 cur = self._apply_block(node.index, inp, train)
+            if tap_index is not None and node.index == tap_index:
+                if tap is not None:
+                    cur = cur + tap.astype(cur.dtype)
+                tapped = cur
             if node.index in self.spec.save:
                 saved[node.index] = cur
+        if tap_index is not None:
+            if tapped is None:
+                raise ValueError(
+                    f"tap_index {tap_index} is not a node of this graph "
+                    f"(0..{len(self.spec.nodes) - 1})")
+            return cur, tapped
         return cur
 
     def _apply_block(self, i: int, inp, train: bool):
