@@ -100,15 +100,23 @@ class DetectionResults:
 
 
 class Ensemble:
-    """Multi-checkpoint ensemble (reference models/experimental.py:113-134):
-    decoded detections from every member are concatenated before NMS (the
-    reference's default `torch.cat(y, 1)` ensemble mode)."""
+    """Multi-checkpoint ensemble (reference models/experimental.py:113-134).
+
+    mode: how members' decoded (B, N, 5+nc) outputs combine before NMS —
+    "cat" (default; the reference's active `torch.cat(y, 1)` nms ensemble),
+    "mean"/"max" (the reference's commented-out alternatives,
+    experimental.py:107-108; require same-config members so anchors align),
+    or "ds"/"ds-li"/"ds-sun" (Dempster-Shafer evidence fusion per anchor —
+    ops/ds_fusion.py, the working redesign of the dead utils/ds_fusion.py)."""
 
     def __init__(self, name_weight_pairs, nc: Optional[int] = None,
-                 dtype=None):
+                 dtype=None, mode: str = "cat"):
+        if mode not in ("cat", "mean", "max", "ds", "ds-li", "ds-sun"):
+            raise ValueError(f"unknown ensemble mode {mode!r}")
         self.members = [create(n, nc, w, dtype) for n, w in name_weight_pairs]
         self.two_stream = self.members[0][0].spec.two_stream
         self.nc = self.members[0][0].spec.nc
+        self.mode = mode
 
     def decode_all(self, rgb, ir=None):
         import jax.numpy as jnp
@@ -119,7 +127,19 @@ class Ensemble:
             feats = model.apply({"params": params, "batch_stats": stats},
                                 *ins, train=False)
             outs.append(model.decode(feats))
-        return jnp.concatenate(outs, axis=1)
+        if self.mode == "cat":
+            return jnp.concatenate(outs, axis=1)
+        if len({o.shape for o in outs}) != 1:
+            raise ValueError("aligned ensemble modes need same-config members")
+        stacked = jnp.stack(outs)
+        if self.mode == "mean":
+            return stacked.mean(axis=0)
+        if self.mode == "max":
+            return stacked.max(axis=0)
+        from .ops.ds_fusion import fuse_detections_jit
+
+        method = {"ds": "plain", "ds-li": "li", "ds-sun": "sun"}[self.mode]
+        return fuse_detections_jit(stacked, method=method)
 
 
 class Detector:
