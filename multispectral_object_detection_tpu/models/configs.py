@@ -581,6 +581,13 @@ def get_config(name: str, nc: int | None = None) -> Dict:
     if "_fusion_" in name:
         base, fus = name.split("_fusion_", 1)
         scale = base[-1]
+        if nc is None:
+            # dataset-suffixed reference names carry nc in their YAML
+            # (models/transformer/*.yaml: FLIR nc=3, llvip nc=1, vedai nc=9)
+            for ds, ds_nc in (("flir", 3), ("llvip", 1), ("vedai", 9)):
+                if ds in fus:
+                    nc = ds_nc
+                    break
         fus = {"transformerx3": "transformerx3", "transformer": "transformer",
                "add": "add"}.get(fus.split("_")[0], fus)
         if scale not in SCALES:

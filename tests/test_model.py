@@ -163,6 +163,17 @@ def test_get_config_by_name():
     assert c2["width_multiple"] == 0.75
 
 
+def test_dataset_suffixed_names_carry_reference_nc():
+    """The reference's models/transformer/*.yaml names are drop-in: the
+    dataset suffix sets nc (FLIR 3, llvip 1, vedai 9) unless overridden."""
+    for name, exp in [("yolov5l_fusion_transformer_FLIR_aligned", 3),
+                      ("yolov5l_fusion_transformerx3_llvip", 1),
+                      ("yolov5s_fusion_transformerx3_vedai", 9),
+                      ("yolov5x_fusion_transformer_FLIR", 3)]:
+        assert get_config(name)["nc"] == exp, name
+        assert get_config(name, nc=7)["nc"] == 7, name
+
+
 def test_reference_yaml_format_loads():
     """The parser accepts reference-format YAML text (capability parity)."""
     import io, yaml
