@@ -25,7 +25,13 @@ PALETTE = [(255, 56, 56), (56, 168, 255), (56, 255, 106), (255, 200, 56),
 def parse_args(argv=None):
     ap = argparse.ArgumentParser("detect")
     ap.add_argument("--cfg", type=str, default="yolov5l_fusion_transformerx3")
-    ap.add_argument("--weights", type=str, required=True)
+    ap.add_argument("--weights", type=str, required=True, nargs="+",
+                    help="checkpoint dir(s); several = ensemble "
+                         "(reference attempt_load, same --cfg members)")
+    ap.add_argument("--ensemble-mode", type=str, default="cat",
+                    choices=["cat", "mean", "max", "ds", "ds-li", "ds-sun"],
+                    help="ensemble combination before NMS (cat = reference "
+                         "torch.cat; ds* = ops/ds_fusion.py)")
     ap.add_argument("--source1", type=str, required=True, help="RGB folder")
     ap.add_argument("--source2", type=str, default="", help="IR folder")
     ap.add_argument("--img-size", type=int, default=640)
@@ -127,7 +133,13 @@ def run(args) -> dict:
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
     cfg = args.cfg if args.cfg.endswith((".yaml", ".yml")) else \
         get_config(args.cfg, nc=args.nc)
-    params, stats = load_inference_params(args.weights)
+    weights = args.weights if isinstance(args.weights, list) else \
+        [args.weights]
+    n_members = len(weights)
+    if n_members > 1 and (args.augment or args.int8):
+        raise SystemExit("--augment/--int8 are single-checkpoint; drop "
+                         "them or pass one --weights")
+    members = [load_inference_params(w) for w in weights]
     if args.no_fuse:
         model = build_model(cfg, nc=args.nc, dtype=dtype)
     else:
@@ -136,9 +148,18 @@ def run(args) -> dict:
         model = build_model(cfg, nc=args.nc, dtype=dtype, fused=True)
         # keep the residual (non-conv-adjacent) BN stats live:
         # BottleneckCSP/MixConv2d/CrossConv configs still need them
-        params, stats = fuse_conv_bn(params, stats)
+        members = [fuse_conv_bn(p, s) for p, s in members]
     from ..models.model import cast_inference_params
-    params = cast_inference_params(params, dtype)
+    members = [(cast_inference_params(p, dtype), s) for p, s in members]
+    if n_members == 1:
+        params, stats = members[0]
+    else:
+        from ..utils.checkpoint import stack_param_trees
+
+        params = stack_param_trees([p for p, _ in members])
+        stats = stack_param_trees([s for _, s in members])
+        logger.info(f"ensemble of {n_members} checkpoints "
+                    f"(mode={args.ensemble_mode})")
     # commit to device ONCE — params loaded from a checkpoint are host
     # numpy trees, and passing those to a jitted fn re-uploads the full
     # model every call
@@ -174,6 +195,31 @@ def run(args) -> dict:
 
             x2 = ir_u8.astype(jnp.float32) / 255.0 if two_stream else None
             dets = tta_forward(model, params, stats, x, x2)
+        elif n_members > 1:
+            # reference attempt_load ensemble: members under one vmap,
+            # combined per --ensemble-mode before NMS
+            x2 = ir_u8.astype(jnp.float32) / 255.0 if two_stream else None
+
+            def one(p, s):
+                inputs = (x,) if not two_stream else (x, x2)
+                feats = model.apply({"params": p, "batch_stats": s},
+                                    *inputs, train=False)
+                return model.decode(feats)
+
+            mdets = jax.vmap(one)(params, stats)  # (E, B, N, 5+nc)
+            if args.ensemble_mode == "cat":
+                e, b, n, no = mdets.shape
+                dets = jnp.moveaxis(mdets, 0, 1).reshape(b, e * n, no)
+            elif args.ensemble_mode == "mean":
+                dets = mdets.mean(axis=0)
+            elif args.ensemble_mode == "max":
+                dets = mdets.max(axis=0)
+            else:
+                from ..ops.ds_fusion import fuse_detections
+
+                dets = fuse_detections(
+                    mdets, method={"ds": "plain", "ds-li": "li",
+                                   "ds-sun": "sun"}[args.ensemble_mode])
         else:
             inputs = (x,) if not two_stream else \
                 (x, ir_u8.astype(jnp.float32) / 255.0)
@@ -383,7 +429,9 @@ def run(args) -> dict:
         # detect_twostream.py:230-232: finalize the weights for inference
         # after a successful run (their strip_optimizer; halves the size)
         from ..utils.checkpoint import strip_checkpoint
-        strip_checkpoint(args.weights)
+        for w in (args.weights if isinstance(args.weights, list)
+                  else [args.weights]):
+            strip_checkpoint(w)
         logger.info(f"--update: stripped {args.weights} to inference-only "
                     "(model.msgpack)")
 

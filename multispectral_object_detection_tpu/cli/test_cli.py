@@ -22,8 +22,15 @@ def parse_args(argv=None):
     ap = argparse.ArgumentParser("test")
     ap.add_argument("--cfg", type=str, default="yolov5l_fusion_transformerx3")
     ap.add_argument("--data", type=str, required=True)
-    ap.add_argument("--weights", type=str, required=True,
-                    help="checkpoint dir (stripped or full)")
+    ap.add_argument("--weights", type=str, required=True, nargs="+",
+                    help="checkpoint dir(s); several = ensemble "
+                         "(reference attempt_load, same --cfg members)")
+    ap.add_argument("--ensemble-mode", type=str, default="cat",
+                    choices=["cat", "mean", "max", "ds", "ds-li", "ds-sun"],
+                    help="how ensemble members combine before NMS: cat "
+                         "(reference torch.cat default), mean/max "
+                         "(experimental.py:107-108), ds* = Dempster-Shafer "
+                         "evidence fusion (ops/ds_fusion.py)")
     ap.add_argument("--batch-size", type=int, default=32)
     ap.add_argument("--img-size", type=int, default=640)
     ap.add_argument("--conf-thres", type=float, default=0.001)
@@ -102,7 +109,9 @@ def _build(args, img_size):
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
     cfg = args.cfg if args.cfg.endswith((".yaml", ".yml")) else \
         get_config(args.cfg, nc=nc)
-    params, stats = load_inference_params(args.weights)
+    weights = args.weights if isinstance(args.weights, list) else \
+        [args.weights]
+    members = [load_inference_params(w) for w in weights]
     if args.no_fuse:
         model = build_model(cfg, nc=nc, dtype=dtype)
     else:
@@ -110,9 +119,18 @@ def _build(args, img_size):
         model = build_model(cfg, nc=nc, dtype=dtype, fused=True)
         # residual stats stay live for non-conv-adjacent BNs
         # (BottleneckCSP/MixConv2d/CrossConv)
-        params, stats = fuse_conv_bn(params, stats)
+        members = [fuse_conv_bn(p, s) for p, s in members]
     from ..models.model import cast_inference_params
-    params = cast_inference_params(params, dtype)
+    members = [(cast_inference_params(p, dtype), s) for p, s in members]
+    if len(members) == 1:
+        params, stats = members[0]
+    else:
+        from ..utils.checkpoint import stack_param_trees
+
+        params = stack_param_trees([p for p, _ in members])
+        stats = stack_param_trees([s for _, s in members])
+        logger.info(f"ensemble of {len(members)} checkpoints "
+                    f"(mode={args.ensemble_mode})")
     # commit to device once — checkpoint loads give host numpy trees, and
     # feeding those to a jitted forward re-uploads the model every batch
     import jax
@@ -156,7 +174,22 @@ def run(args) -> dict:
                          "pyramids differ per scale); drop --compute-loss")
     if args.augment and args.data_parallel > 1:
         raise SystemExit("--augment is single-device; drop --data-parallel")
-    if args.augment:
+    n_members = len(args.weights) if isinstance(args.weights, list) else 1
+    if n_members > 1:
+        # reference ensemble: forward returns (dets, None), no val loss
+        # (Ensemble.forward train_out=None, experimental.py:111)
+        for flag, msg in [(args.compute_loss, "--compute-loss"),
+                          (args.augment, "--augment"),
+                          (args.data_parallel > 1, "--data-parallel"),
+                          (args.int8, "--int8")]:
+            if flag:
+                raise SystemExit(f"{msg} is single-checkpoint; drop it or "
+                                 f"pass one --weights")
+        from ..train.trainer import make_eval_forward_ensemble
+
+        fwd = make_eval_forward_ensemble(model, two_stream=two_stream,
+                                         mode=args.ensemble_mode)
+    elif args.augment:
         from ..train.trainer import make_eval_forward_tta
 
         fwd = make_eval_forward_tta(model, two_stream=two_stream)

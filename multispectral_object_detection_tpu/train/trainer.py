@@ -141,6 +141,49 @@ def make_eval_forward(model, two_stream: bool) -> Callable:
     return fwd
 
 
+def make_eval_forward_ensemble(model, two_stream: bool,
+                               mode: str = "cat") -> Callable:
+    """Jitted multi-checkpoint ensemble forward, drop-in for
+    make_eval_forward (the CLI face of reference attempt_load ->
+    Ensemble, experimental.py:113-134).
+
+    Takes params/batch_stats trees whose leaves carry a leading member
+    axis (utils/checkpoint.stack_param_trees); members run under one vmap
+    and combine by ``mode``: "cat" (reference default torch.cat nms
+    ensemble), "mean"/"max" (experimental.py:107-108), or
+    "ds"/"ds-li"/"ds-sun" (ops/ds_fusion.py per-anchor evidence fusion).
+    Returns (dets, None) — no val loss, same as the reference ensemble
+    whose forward returns train_out=None (experimental.py:111)."""
+
+    @jax.jit
+    def fwd(params, batch_stats, rgb, ir):
+        x = rgb.astype(jnp.float32) / 255.0
+        x2 = ir.astype(jnp.float32) / 255.0 if two_stream else None
+
+        def one(p, s):
+            inputs = (x,) if not two_stream else (x, x2)
+            feats = model.apply({"params": p, "batch_stats": s},
+                                *inputs, train=False)
+            return model.decode(feats)
+
+        dets = jax.vmap(one)(params, batch_stats)  # (E, B, N, 5+nc)
+        if mode == "cat":
+            e, b, n, no = dets.shape
+            out = jnp.moveaxis(dets, 0, 1).reshape(b, e * n, no)
+        elif mode == "mean":
+            out = dets.mean(axis=0)
+        elif mode == "max":
+            out = dets.max(axis=0)
+        else:
+            from ..ops.ds_fusion import fuse_detections
+
+            method = {"ds": "plain", "ds-li": "li", "ds-sun": "sun"}[mode]
+            out = fuse_detections(dets, method=method)
+        return out, None
+
+    return fwd
+
+
 def make_eval_forward_tta(model, two_stream: bool) -> Callable:
     """Jitted test-time-augmentation forward (3 scales + lr flip,
     train/tta.py) + decode, drop-in for make_eval_forward.

@@ -163,6 +163,17 @@ def strip_checkpoint(path: str, out_path: Optional[str] = None):
     (out / "meta.json").write_text(json.dumps(meta, indent=1))
 
 
+def stack_param_trees(trees):
+    """Stack same-structure pytrees along a new leading member axis —
+    the storage form of a CLI `--weights a b c` ensemble (reference
+    attempt_load, experimental.py:114-134; members must share one --cfg
+    since our checkpoints carry no code, by design). jnp.stack (not
+    np.stack): leaves may already be bf16 device arrays post-cast."""
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+
+
 def load_inference_params(path: str):
     """Load a stripped (or full) checkpoint for inference: (params, stats)."""
     p = Path(path)

@@ -365,3 +365,43 @@ def test_evolve_loop(workspace, tmp_path):
     assert len(lines) == 2
     assert (evolve_dir / "hyp_evolved.yaml").exists()
     assert "hyp" in res and "lr0" in res["hyp"]
+
+
+def test_ensemble_weights_cli(workspace, tmp_path):
+    """Multi-checkpoint --weights on test/detect (reference attempt_load ->
+    Ensemble, experimental.py:113-134). Two identical members under cat
+    mode double the candidate pool; mAP must match the single model
+    (duplicate boxes NMS away); ds mode runs the evidence-fusion path."""
+    root, data_yaml = workspace
+    run_dir = root / "runs" / "exp"  # from test_train_test_detect_cli
+    from multispectral_object_detection_tpu.cli.test_cli import main as test_main
+
+    common = ["--cfg", "yolov5n_fusion_add", "--data", data_yaml,
+              "--batch-size", "4", "--img-size", "128", "--fp32"]
+    ev1 = test_main(common + ["--weights", str(run_dir / "last")])
+    ev2 = test_main(common + ["--weights", str(run_dir / "last"),
+                              str(run_dir / "last")])
+    assert np.isfinite(ev2["map50"]) and ev2["seen"] == 8
+    # identical members + cat + NMS == the single model's detections
+    np.testing.assert_allclose(ev2["map50"], ev1["map50"], atol=1e-6)
+    ev_ds = test_main(common + ["--weights", str(run_dir / "last"),
+                                str(run_dir / "last"),
+                                "--ensemble-mode", "ds"])
+    assert np.isfinite(ev_ds["map50"])
+
+    # ensemble forward returns no train_out -> val loss must be refused
+    with pytest.raises(SystemExit):
+        test_main(common + ["--weights", str(run_dir / "last"),
+                            str(run_dir / "last"), "--compute-loss"])
+
+    from multispectral_object_detection_tpu.cli.detect_cli import main as det_main
+
+    rgb_dir = yaml.safe_load(Path(data_yaml).read_text())["val_rgb"]
+    ir_dir = yaml.safe_load(Path(data_yaml).read_text())["val_ir"]
+    out = det_main([
+        "--cfg", "yolov5n_fusion_add", "--weights", str(run_dir / "last"),
+        str(run_dir / "last"), "--ensemble-mode", "ds",
+        "--source1", rgb_dir, "--source2", ir_dir, "--img-size", "128",
+        "--conf-thres", "0.01", "--nc", "2", "--fp32", "--nosave",
+        "--project", str(tmp_path / "ens_det"), "--name", "e"])
+    assert out["n_images"] == 8
